@@ -1,0 +1,178 @@
+"""Micro-batch driver: the epoch-fenced, exactly-once incremental loop
+(SURVEY.md §2 ops 60/70/71; §3.2 lifecycle).
+
+Design decision (SURVEY.md §7 M2): a self-driven batch loop, NOT
+Structured Streaming — epochs are deterministic and resumable from two
+JSON files, and commit ordering stays visible (SS's availableNow adds
+nothing offline and hides it).
+
+Exactly-once protocol per epoch ``e → e+1``:
+
+1. *fence*: if the table's current snapshot summary carries an epoch
+   newer than the checkpoint, a previous run crashed between
+   snapshot-commit and checkpoint-write → repair the checkpoint from the
+   snapshot summary (the summary stores the offsets) and continue.
+   Replayed work is thereby skipped, never double-applied.
+2. discover + select the next batch (footer metadata only).
+3. read → validate/quarantine → HWM-filter (dedupe is absorbed by the
+   MERGE window, see lake/merge.py).
+4. additive schema evolution committed BEFORE the data write
+   (BASELINE.json:6 ordering requirement).
+5. MERGE apply → snapshot ``s`` with summary {epoch: e+1, offsets'}.
+6. checkpoint := {e+1, offsets', s}.   (crash between 5 and 6 is what
+   step 1 repairs)
+7. emit lineage.
+
+``crash_hook(point)`` is a test seam — tests/test_replay.py injects
+crashes at every boundary and asserts byte-identical reconvergence.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..lake.core import IceboxTable
+from ..lake.merge import merge_apply
+from ..schema import ENVELOPE_COLS, table_schema_for
+from . import checkpoint as ckpt
+from . import lineage as lin
+from .dedupe import hwm_predicate
+from .skew import plan_salts
+from .source import list_segments, read_batch, select_batch
+from .validate import split_valid
+
+
+def _fence_and_repair(table: IceboxTable, checkpoint_dir: str, ck: dict) -> dict:
+    snap = table.current_snapshot() if table.exists() else None
+    if snap is None:
+        return ck
+    summary = snap.get("summary", {})
+    snap_epoch = int(summary.get("epoch", 0))
+    if snap_epoch > ck["epoch"]:
+        ck = {
+            "epoch": snap_epoch,
+            "offsets": {int(k): int(v) for k, v in summary.get("offsets", {}).items()},
+            "snapshot_id": snap["snapshot_id"],
+        }
+        ckpt.save(checkpoint_dir, ck)
+    return ck
+
+
+def run_increment(
+    spark: SparkSession,
+    ledger_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    *,
+    max_segments_per_part: int | None = None,
+    max_epochs: int | None = None,
+    salts: int | str | None = "auto",
+    num_buckets: int = 16,
+    crash_hook: Callable[[str], None] | None = None,
+) -> list[dict]:
+    """Drain the ledger in micro-batches (availableNow semantics);
+    returns the lineage records emitted.  Resumable: state is entirely
+    in ``checkpoint_dir`` + the table's snapshot summaries."""
+    hook = crash_hook or (lambda point: None)
+    table = IceboxTable(table_root)
+    all_records: list[dict] = []
+    epochs_done = 0
+
+    while max_epochs is None or epochs_done < max_epochs:
+        t0 = time.monotonic()
+        ck = ckpt.load(checkpoint_dir)
+        if table.exists():
+            ck = _fence_and_repair(table, checkpoint_dir, ck)
+
+        segments = list_segments(ledger_dir)
+        chosen, cutoffs = select_batch(
+            segments, ck["offsets"], max_segments_per_part=max_segments_per_part
+        )
+        if not chosen:
+            break
+
+        raw = read_batch(spark, chosen, ck["offsets"], cutoffs).persist()
+        try:
+            valid, bad = split_valid(raw)
+            n_bad = bad.count()
+            pstats = lin.batch_partition_stats(valid)
+
+            # new offsets: planned cutoffs (deterministic even for
+            # batches whose rows were all duplicates/quarantined)
+            new_offsets = dict(ck["offsets"])
+            for part, hi in cutoffs.items():
+                new_offsets[part] = max(hi, new_offsets.get(part, -1))
+
+            # additive schema evolution BEFORE write (BASELINE.json:6)
+            batch_table_schema = table_schema_for(
+                T.StructType([f for f in valid.schema.fields])
+            )
+            if not table.exists():
+                IceboxTable.create(
+                    table_root, batch_table_schema, num_buckets=num_buckets
+                )
+                table = IceboxTable(table_root)
+            else:
+                known = {f["name"] for f in table.schema_fields()}
+                new_cols = T.StructType(
+                    [f for f in batch_table_schema.fields if f.name not in known]
+                )
+                if len(new_cols.fields) > 0:
+                    hook("pre_evolve")
+                    table.evolve_schema(new_cols)
+
+            batch_salts = plan_salts(valid) if salts == "auto" else salts
+
+            epoch = ck["epoch"] + 1
+            hook("pre_merge")
+            snapshot_id = merge_apply(
+                spark,
+                table,
+                valid,
+                salts=batch_salts,
+                summary={
+                    "epoch": epoch,
+                    "offsets": {str(k): int(v) for k, v in new_offsets.items()},
+                    "rows_in": sum(p["rows"] for p in pstats),
+                    "quarantined": n_bad,
+                },
+            )
+            hook("post_snapshot")
+            ckpt.save(
+                checkpoint_dir,
+                {"epoch": epoch, "offsets": new_offsets, "snapshot_id": snapshot_id},
+            )
+            hook("post_checkpoint")
+
+            wall_ms = (time.monotonic() - t0) * 1000.0
+            all_records += lin.emit(
+                checkpoint_dir,
+                epoch=epoch,
+                snapshot_id=snapshot_id,
+                partition_stats=pstats,
+                wall_ms=wall_ms,
+                quarantined=n_bad,
+            )
+        finally:
+            raw.unpersist()
+        epochs_done += 1
+
+    return all_records
+
+
+def backfill(
+    spark: SparkSession,
+    ledger_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    **kwargs,
+) -> list[dict]:
+    """One-shot seed (reference CLI analogue [PK-med]): drain everything
+    available in one epoch."""
+    kwargs.setdefault("max_segments_per_part", None)
+    kwargs.setdefault("max_epochs", 1)
+    return run_increment(spark, ledger_dir, table_root, checkpoint_dir, **kwargs)

@@ -1,0 +1,188 @@
+"""Changelog tail source (SURVEY.md §2 op 3): incremental, offset-driven
+reads of ledger segments — the binlog/WAL-tail analogue.
+
+Ledger layout (FIXTURES.md §C)::
+
+    ledger/part={src_part}/seg={k}/*.parquet    # rows lsn-sorted
+
+Discovery is metadata-only: parquet *footers* give each segment's
+(min_lsn, max_lsn) — no data rows are read to decide what is new.  The
+read itself is ONE ``spark.read.schema(superset).parquet(files...)``
+with a per-partition ``hwm < lsn <= cutoff`` OR-chain that pushes down
+to footer stats, so re-listed but already-consumed segments cost zero IO.
+
+Schema evolution arrives here first: newer segments may carry columns
+older ones lack (e.g. ``tool``, ``tool_version``).  The batch schema is
+the union of the selected files' footer schemas; files missing a column
+read back as NULL (additive semantics).
+
+Scale: discovery is a driver-side listing, O(segments) — on a real lake
+this is the object-store listing every table format does; per-epoch cost
+is bounded by segment count, not data volume.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import CHANGELOG_SCHEMA
+from .dedupe import hwm_predicate
+
+
+@dataclass
+class Segment:
+    path: str
+    src_part: int
+    min_lsn: int
+    max_lsn: int
+    rows: int
+    columns: tuple[str, ...]
+    arrow_schema: pa.Schema
+
+
+def _lsn_range(md, schema) -> tuple[int, int]:
+    idx = schema.names.index("lsn")
+    lo, hi = None, None
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(idx).statistics
+        if st is None or not st.has_min_max:
+            continue
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return int(lo), int(hi)
+
+
+def list_segments(ledger_dir: str) -> list[Segment]:
+    """All ledger segments with footer-derived lsn ranges (no data IO)."""
+    out: list[Segment] = []
+    if not os.path.isdir(ledger_dir):
+        return out
+    for pdir in sorted(os.listdir(ledger_dir)):
+        if not pdir.startswith("part="):
+            continue
+        part = int(pdir.split("=", 1)[1])
+        base = os.path.join(ledger_dir, pdir)
+        for root, _dirs, files in os.walk(base):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                pf = pq.ParquetFile(full)
+                if pf.metadata.num_rows == 0:
+                    continue
+                lo, hi = _lsn_range(pf.metadata, pf.schema_arrow)
+                out.append(
+                    Segment(
+                        path=full,
+                        src_part=part,
+                        min_lsn=lo,
+                        max_lsn=hi,
+                        rows=pf.metadata.num_rows,
+                        columns=tuple(pf.schema_arrow.names),
+                        arrow_schema=pf.schema_arrow,
+                    )
+                )
+    return out
+
+
+_ARROW_TO_SPARK = {
+    "string": T.StringType(),
+    "large_string": T.StringType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "bool": T.BooleanType(),
+}
+
+
+def _spark_type(arrow_type: pa.DataType) -> T.DataType:
+    if pa.types.is_timestamp(arrow_type):
+        return T.TimestampType()
+    return _ARROW_TO_SPARK[str(arrow_type)]
+
+
+def batch_schema(segments: list[Segment]) -> T.StructType:
+    """Union schema over segments: canonical changelog columns first (in
+    contract order), evolved extras after, types from footers."""
+    known = {f.name: f for f in CHANGELOG_SCHEMA.fields}
+    seen: dict[str, T.DataType] = {}
+    order: list[str] = []
+    for seg in segments:
+        for name in seg.columns:
+            if name not in seen:
+                seen[name] = (
+                    known[name].dataType
+                    if name in known
+                    else _spark_type(seg.arrow_schema.field(name).type)
+                )
+                order.append(name)
+    fields = [f for f in CHANGELOG_SCHEMA.fields if f.name in seen]
+    fields += [
+        T.StructField(n, seen[n], True) for n in order if n not in known
+    ]
+    return T.StructType(fields)
+
+
+def select_batch(
+    segments: list[Segment],
+    offsets: dict[int, int],
+    *,
+    max_segments_per_part: int | None = None,
+) -> tuple[list[Segment], dict[int, int]]:
+    """Pick the next micro-batch: per source partition, the earliest
+    pending segments (capped), and the lsn cutoff the batch will consume
+    through.  Deterministic — same offsets + same ledger → same batch."""
+    chosen: list[Segment] = []
+    cutoffs: dict[int, int] = {}
+    by_part: dict[int, list[Segment]] = {}
+    for s in segments:
+        if s.max_lsn > offsets.get(s.src_part, -1):
+            by_part.setdefault(s.src_part, []).append(s)
+    for part, segs in sorted(by_part.items()):
+        segs.sort(key=lambda s: (s.min_lsn, s.path))
+        if max_segments_per_part is None:
+            take = segs
+        else:
+            # lsn ranges of different files can interleave (duplicate
+            # re-deliveries are written into LATER segments with OLD
+            # lsns — FIXTURES.md §C).  The consumed-through cutoff must
+            # cover every pending file whose range dips below it, or
+            # those rows would be high-watermark-filtered forever.
+            # Expand the selection to that fixpoint.
+            take = segs[: max_segments_per_part]
+            hi = max(s.max_lsn for s in take)
+            while True:
+                extra = [s for s in segs if s not in take and s.min_lsn <= hi]
+                if not extra:
+                    break
+                take = take + extra
+                hi = max(hi, max(s.max_lsn for s in extra))
+        chosen += take
+        cutoffs[part] = max(s.max_lsn for s in take)
+    return chosen, cutoffs
+
+
+def read_batch(
+    spark: SparkSession,
+    segments: list[Segment],
+    offsets: dict[int, int],
+    cutoffs: dict[int, int],
+) -> DataFrame:
+    """One pushdown-friendly scan of the selected segments, bounded to
+    (hwm, cutoff] per source partition."""
+    schema = batch_schema(segments)
+    df = spark.read.schema(schema).parquet(*[s.path for s in segments])
+    ceil_pred = None
+    for part, hi in sorted(cutoffs.items()):
+        clause = (F.col("src_part") == int(part)) & (F.col("lsn") <= int(hi))
+        ceil_pred = clause if ceil_pred is None else (ceil_pred | clause)
+    df = df.filter(hwm_predicate(offsets) & ceil_pred)
+    return df

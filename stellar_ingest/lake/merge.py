@@ -1,0 +1,103 @@
+"""Idempotent MERGE upsert — copy-on-write, bucket-pruned
+(SURVEY.md §2 ops 7/68/69; BASELINE.json:6 "idempotent MERGE upserts,
+key-partitioned").
+
+One batch = one plan, two shuffles, one snapshot commit:
+
+1. **Touched buckets** from the batch's keys (tiny distinct collect,
+   bounded by num_buckets, never by data size).
+2. **Manifest prune**: read only the table files of touched buckets
+   (metadata-level partition pruning; untouched files carry into the
+   new snapshot unread).
+3. **Single-window resolve**: existing rows are re-expressed as
+   changelog rows and unioned with the batch; ONE ranking window
+   computes last-writer-wins across both at once.  This absorbs
+   in-batch LSN dedupe too (duplicate (src_part, lsn) deliveries carry
+   identical payloads, so whichever copy ranks first is the same row) —
+   saving the separate dropDuplicates shuffle on the hot path.
+4. **Rewrite** touched buckets (write-salted for hot buckets), commit.
+
+Deletes: the winning mutation may be a delete → kept as a tombstone row
+(_op='D', NULL payload).  Tombstones must persist: dropping them would
+let an older-ts update resurrect the key under a different replay batch
+split, breaking byte-identical reconvergence (schema.py rationale).
+
+Idempotence: re-applying any batch reproduces the same winners (the
+ordering (ts, lsn, src_part) is total), so table state is a pure
+function of the set of applied mutations — the replay guarantee.
+
+Scale: shuffle 1 hashes (conv_id, turn_idx) [+salt when the census says
+so]; shuffle 2 hashes (bucket, write-salt).  Both keys are fine-grained;
+a 1000-executor run changes only partition counts, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cdc.resolve import resolve
+from ..schema import ENVELOPE_COLS
+from .core import IceboxTable, fields_to_struct
+from .read import scan
+from .write import bucket_expr, write_data_files
+
+
+def _existing_as_changelog(existing: DataFrame) -> DataFrame:
+    """Stored-table rows → changelog shape so they can compete in the
+    same LWW window as incoming mutations."""
+    payload = [c for c in existing.columns if not c.startswith("_")]
+    cols = [
+        F.col("_lsn").alias("lsn"),
+        F.col("_src_part").alias("src_part"),
+        F.when(F.col("_op") == "D", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    ]
+    cols += [F.col(c) for c in payload if c != "ts"]
+    # envelope ts is the LWW key; tombstones have NULL payload ts but a real _ts
+    cols.append(F.col("_ts").alias("ts"))
+    return existing.select(*cols)
+
+
+def merge_apply(
+    spark: SparkSession,
+    table: IceboxTable,
+    batch: DataFrame,
+    *,
+    salts: int | None = None,
+    summary: dict | None = None,
+) -> int:
+    """Apply one changelog batch (validated + HWM-filtered) as a
+    copy-on-write MERGE; returns the committed snapshot id."""
+    meta = table.metadata()
+    bcol, nbuckets = meta["bucket_column"], meta["num_buckets"]
+    bexpr = bucket_expr(bcol, nbuckets)
+
+    touched = sorted(
+        r[0]
+        for r in batch.select(bexpr.alias("__b")).distinct().collect()
+    )
+    if not touched:
+        return table.commit(added_files=[], summary=summary or {}, operation="merge")
+
+    existing = scan(spark, table, buckets=touched)
+    table_struct = fields_to_struct(table.schema_fields())
+    union = batch.unionByName(
+        _existing_as_changelog(existing), allowMissingColumns=True
+    )
+    winners = resolve(union, salts=salts)
+    # project to the committed table schema (order + NULL-fill for columns
+    # evolved after this batch's payload)
+    ordered = winners.select(
+        *[
+            F.col(f.name) if f.name in winners.columns else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in table_struct.fields
+        ]
+    )
+    new_files = write_data_files(ordered.withColumn("__bucket", bexpr), table)
+    removed = {e["path"] for e in table.files(buckets=touched)}
+    return table.commit(
+        added_files=new_files,
+        removed_paths=removed,
+        summary=summary or {},
+        operation="merge",
+    )

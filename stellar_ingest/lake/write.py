@@ -1,0 +1,112 @@
+"""Data-file materialization + append / overwrite-bucket sinks
+(SURVEY.md §2 ops 6, 8, 43).
+
+Files are written bucket-partitioned under ``data/<commit-tag>/bucket=b/``
+and never mutated; commits only swap manifests.  Rows are clustered
+``(conv_id, turn_idx)`` inside each file (partition-local sort, op 43) so
+downstream per-conversation reads and parquet min/max stats stay tight.
+
+Scale notes: the write repartitions by ``(bucket, salt)`` — the salt
+spreads a hot bucket across many tasks/files, so one whale conversation
+cannot serialize the write stage (BASELINE.json:6 skew requirement); at
+1000 executors this is the same plan, just more shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import IceboxTable
+
+#: write-side salt fan-out within a bucket (files per bucket per commit
+#: is bounded by this x tasks actually holding the bucket).
+WRITE_SALT = 8
+
+
+def bucket_expr(col: str, num_buckets: int):
+    """Deterministic bucket id for a key column — xxhash64 is stable
+    across Spark versions/runs, so Python-side manifest pruning and
+    Spark-side assignment always agree."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
+
+
+def write_data_files(
+    df: DataFrame,
+    table: IceboxTable,
+    *,
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    shuffle_partitions: int | None = None,
+) -> list[dict]:
+    """Materialize ``df`` (must carry a ``__bucket`` int column) as
+    immutable parquet under a fresh commit dir; returns manifest entries
+    ``{path, bucket, rows}``.  This is an action (the one big job)."""
+    spark = df.sparkSession
+    tag = f"snap-pending-{uuid.uuid4().hex[:12]}"
+    out = os.path.join(table.data_dir, tag)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]), F.lit(WRITE_SALT))
+    n = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (
+        df.repartition(n, F.col("__bucket"), salt)
+        .sortWithinPartitions("__bucket", *sort_cols)
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    entries = []
+    for bdir in sorted(os.listdir(out)):
+        if not bdir.startswith("__bucket="):
+            continue
+        b = int(bdir.split("=", 1)[1])
+        for fn in sorted(os.listdir(os.path.join(out, bdir))):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(out, bdir, fn)
+            rows = pq.ParquetFile(full).metadata.num_rows
+            if rows == 0:
+                continue
+            entries.append(
+                {"path": os.path.relpath(full, table.root), "bucket": b, "rows": rows}
+            )
+    return entries
+
+
+def append(
+    spark: SparkSession,
+    table: IceboxTable,
+    df: DataFrame,
+    *,
+    summary: dict | None = None,
+) -> int:
+    """Append sink (op 6): bucket-partition + write + snapshot commit."""
+    meta = table.metadata()
+    dfb = df.withColumn("__bucket", bucket_expr(meta["bucket_column"], meta["num_buckets"]))
+    entries = write_data_files(dfb, table)
+    return table.commit(added_files=entries, summary=summary or {}, operation="append")
+
+
+def overwrite_buckets(
+    spark: SparkSession,
+    table: IceboxTable,
+    df: DataFrame,
+    buckets: list[int],
+    *,
+    summary: dict | None = None,
+) -> int:
+    """Overwrite-partition sink (op 8): atomically replace the files of
+    ``buckets`` with ``df``'s content (which must only hold those
+    buckets)."""
+    meta = table.metadata()
+    dfb = df.withColumn("__bucket", bucket_expr(meta["bucket_column"], meta["num_buckets"]))
+    entries = write_data_files(dfb, table)
+    removed = {e["path"] for e in table.files(buckets=buckets)}
+    return table.commit(
+        added_files=entries,
+        removed_paths=removed,
+        summary=summary or {},
+        operation="overwrite",
+    )

@@ -1,0 +1,236 @@
+"""Join zoo + oracle-paired queries (SURVEY.md §2.3 ops 16-24).
+
+Strategy notes (verified via .explain in tests/bench):
+- dimension joins (region/nation/supplier) are explicitly broadcast —
+  at 100 TB the fact side never shuffles for a dim join;
+- orders⋈lineitem is a shuffle join on the natural key; AQE picks
+  SMJ/SHJ and handles residual skew at runtime;
+- the as-of join composes equi-join + window instead of a theta join —
+  a BroadcastNestedLoop there would be quadratic at scale;
+- range/interval joins keep an equi leg so Catalyst can hash-partition,
+  with the range predicate as a post-join filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .relational import tbl
+
+
+def asof_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_ts: str,
+    dim_ts: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Latest dim state at-or-before each fact row's timestamp
+    (SURVEY.md op 23): equi-join on key + ts<= filter + row_number()=1
+    over desc dim ts.  Scale: the shuffle key is `on` — same plan at any
+    cluster size; skewed keys fall to AQE skew-join."""
+    j = fact.join(dim, on=on, how="left").filter(
+        F.col(dim_ts).isNull() | (F.col(dim_ts) <= F.col(fact_ts))
+    )
+    w = Window.partitionBy(*fact.columns).orderBy(F.col(dim_ts).desc())
+    return j.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# -- oracle-paired queries ---------------------------------------------------
+
+
+def q_join_inner(spark, sf):
+    o = tbl(spark, sf, "orders")
+    c = tbl(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+def q_join_broadcast(spark, sf):
+    n = tbl(spark, sf, "nation")
+    r = tbl(spark, sf, "region")
+    c = tbl(spark, sf, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_join_large(spark, sf):
+    o = tbl(spark, sf, "orders")
+    li = tbl(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_qty"),
+        )
+    )
+
+
+def q_join_outer(spark, sf):
+    c = tbl(spark, sf, "customer")
+    o = tbl(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_join_semi(spark, sf):
+    c = tbl(spark, sf, "customer")
+    o = tbl(spark, sf, "orders").filter(F.col("o_totalprice") > 50000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark, sf):
+    c = tbl(spark, sf, "customer")
+    o = tbl(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_range(spark, sf):
+    """Theta/range join: price bands × parts (broadcast nested loop on a
+    tiny literal band table)."""
+    p = tbl(spark, sf, "part")
+    bands = p.sparkSession.createDataFrame(
+        [("low", 0.0, 500.0), ("mid", 500.0, 1500.0), ("high", 1500.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q_join_asof(spark, sf):
+    """For each order (custkey < 50 so keys overlap events.user_id):
+    the most recent event at-or-before the order date for that user."""
+    o = tbl(spark, sf, "orders").filter(F.col("o_custkey") < 50).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    e = tbl(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.col("ts").alias("ev_ts"),
+        F.col("event_type"),
+    )
+    # the ts bound lives in the JOIN condition (not a post-filter) so
+    # orders with only-later events still survive with NULLs
+    j = o.join(
+        e, (o.o_custkey == e.user_id) & (e.ev_ts <= o.o_orderdate), "left"
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ev_ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_orderkey", "o_custkey", "ev_ts", "event_type")
+    )
+
+
+def q_join_interval(spark, sf):
+    """Events within 7 days at-or-after the user's order date."""
+    o = tbl(spark, sf, "orders").filter(F.col("o_custkey") < 50)
+    e = tbl(spark, sf, "events")
+    return (
+        o.join(e, o.o_custkey == e.user_id)
+        .filter(
+            (e.ts >= o.o_orderdate)
+            & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE = {
+    "join_inner": """
+        SELECT o_orderkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_broadcast": """
+        SELECT r_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "join_large": """
+        SELECT o_orderpriority, count(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "join_outer": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_range": """
+        SELECT band, count(*) AS n_parts
+        FROM part
+        JOIN (VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1500.0),
+                     ('high', 1500.0, 100000.0)) b(band, lo, hi)
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """,
+    "join_asof": """
+        WITH j AS (
+            SELECT o_orderkey, o_custkey, ts AS ev_ts, event_type,
+                   row_number() OVER (PARTITION BY o_orderkey
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM (SELECT * FROM orders WHERE o_custkey < 50) o
+            LEFT JOIN events e ON o.o_custkey = e.user_id
+                               AND e.ts <= o.o_orderdate
+        )
+        SELECT o_orderkey, o_custkey, ev_ts, event_type FROM j WHERE rn = 1
+    """,
+    "join_interval": """
+        SELECT o_orderkey, count(*) AS n_events
+        FROM (SELECT * FROM orders WHERE o_custkey < 50) o
+        JOIN events e ON e.user_id = o.o_custkey
+                     AND e.ts >= o.o_orderdate
+                     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o_orderkey
+    """,
+}
+
+QUERIES = {
+    "join_inner": q_join_inner,
+    "join_broadcast": q_join_broadcast,
+    "join_large": q_join_large,
+    "join_outer": q_join_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_range": q_join_range,
+    "join_asof": q_join_asof,
+    "join_interval": q_join_interval,
+}

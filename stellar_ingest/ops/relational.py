@@ -1,0 +1,204 @@
+"""Relational core operators + their oracle-verified query builders
+(SURVEY.md §2.2/§2.6/§2.7: ops 11-14, 42, 44-46).
+
+Each ``q_*`` builder takes (spark, sf_dir) and returns a DataFrame whose
+column names/types line up exactly with the ``ORACLE`` SQL DuckDB runs
+on the same parquet — that pairing is the correctness harness
+(__spark_entry__.py contract).
+
+Plan notes: every query here is a single-scan narrow plan — projections
+and filters push into the parquet reader (verify: `PushedFilters` /
+`ReadSchema` in `.explain("formatted")`); sorts/limits compile to
+`TakeOrderedAndProject`, set ops to hash aggregates/joins that AQE
+sizes at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- reusable operators ------------------------------------------------------
+
+
+def project(df: DataFrame, *cols: str, renames: dict[str, str] | None = None) -> DataFrame:
+    out = df.select(*cols)
+    for old, new in (renames or {}).items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def topk_global(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """Global top-k: compiles to TakeOrderedAndProject — no full sort,
+    each partition keeps k, the driver merges (scale-safe for small k)."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+# -- oracle-paired queries ---------------------------------------------------
+
+
+def q_scan_parquet(spark, sf):
+    return (
+        tbl(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .filter(F.col("l_shipdate") < "1995-01-01")
+    )
+
+
+def q_scan_csv(spark, sf):
+    """CSV round-trip (the reference's native source [PK-high]): export
+    the region table to CSV deterministically, read it back typed."""
+    import os
+    import tempfile
+
+    pdf = tbl(spark, sf, "region").orderBy("r_regionkey").toPandas()
+    d = tempfile.mkdtemp(prefix="stellar_csv_")
+    path = os.path.join(d, "region.csv")
+    pdf.to_csv(path, index=False)
+    return spark.read.csv(
+        path, header=True, schema="r_regionkey int, r_name string"
+    )
+
+
+def q_project(spark, sf):
+    return project(
+        tbl(spark, sf, "customer"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        renames={"c_mktsegment": "segment"},
+    )
+
+
+def q_filter_pred(spark, sf):
+    return tbl(spark, sf, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_totalprice") > 1000.0)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+
+
+def q_derive(spark, sf):
+    li = tbl(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("net_price"),
+        (F.col("l_quantity") > 25).alias("bulk"),
+    )
+
+
+def q_cast_types(spark, sf):
+    o = tbl(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.try_cast(F.col("o_orderpriority"), "int").alias("prio_int"),
+    )
+
+
+def q_sort_global(spark, sf):
+    return (
+        tbl(spark, sf, "supplier")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q_topk_global(spark, sf):
+    return topk_global(
+        tbl(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        25,
+    )
+
+
+def q_set_union(spark, sf):
+    c = tbl(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+def q_set_except(spark, sf):
+    cust_nations = tbl(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nations = tbl(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust_nations.distinct().exceptAll(supp_nations.distinct())
+
+
+def q_distinct_rows(spark, sf):
+    return tbl(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+ORACLE = {
+    "scan_parquet": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01'
+    """,
+    "scan_csv": "SELECT r_regionkey, r_name FROM region",
+    "project": "SELECT c_custkey, c_name, c_mktsegment AS segment FROM customer",
+    "filter_pred": """
+        SELECT * FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    "derive": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price,
+               l_quantity > 25 AS bulk
+        FROM lineitem
+    """,
+    "cast_types": """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               CAST(o_orderdate AS DATE) AS odate,
+               TRY_CAST(o_orderpriority AS INT) AS prio_int
+        FROM orders
+    """,
+    "sort_global": """
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        ORDER BY s_acctbal DESC, s_suppkey
+    """,
+    "topk_global": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "set_union": """
+        SELECT DISTINCT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL SELECT s_nationkey FROM supplier)
+    """,
+    "set_except": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "distinct_rows": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+}
+
+QUERIES = {
+    "scan_parquet": q_scan_parquet,
+    "scan_csv": q_scan_csv,
+    "project": q_project,
+    "filter_pred": q_filter_pred,
+    "derive": q_derive,
+    "cast_types": q_cast_types,
+    "sort_global": q_sort_global,
+    "topk_global": q_topk_global,
+    "set_union": q_set_union,
+    "set_except": q_set_except,
+    "distinct_rows": q_distinct_rows,
+}

@@ -1,0 +1,53 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local mode is the sandbox stand-in for a multi-executor cluster
+(driver instruction; see BASELINE.md scaling row).  Shuffle-partition
+count scales with parallelism: 8x cores locally, and on a real cluster
+you would size it to ~2-3x total executor cores (or simply leave AQE
+coalescing on, as we do).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "stellar-ingest",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``cores=None`` → ``local[*]``.  AQE stays ON (runtime coalescing +
+    skew-join splitting); our own salting handles window skew that AQE
+    cannot (SURVEY.md §4).
+    """
+    cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None and cores_env:
+        cores = int(cores_env)
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        n = cores if cores else (os.cpu_count() or 8)
+        shuffle_partitions = max(32, 8 * n)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("STELLAR_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,187 @@
+"""End-to-end exactly-once replay tests — the crown (SURVEY.md §5 layer 3;
+BASELINE.json:6 "replay from any checkpoint reconverges to byte-identical
+table state ... after crash/replay and mid-stream schema change").
+
+Golden state = one-shot backfill of the full ledger.  Every other path —
+different micro-batch splits, resume from every intermediate checkpoint,
+crash injection at each commit-protocol boundary — must reproduce it
+bit-for-bit (canonical fingerprint over the FULL stored state including
+tombstones and meta columns, plus multiset exceptAll on the live view).
+The expected live state itself is recomputed independently in pandas.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from stellar_ingest.cdc.runner import backfill, run_increment
+from stellar_ingest.gen.changelog import gen_events, keyspace, write_ledger
+from stellar_ingest.lake.core import IceboxTable
+from stellar_ingest.lake.read import read_live, scan
+from stellar_ingest.verify.diff import states_equal
+from stellar_ingest.verify.fingerprint import table_fingerprint
+
+from .helpers import expected_lww_pandas
+
+N_CONVS = 40
+KS = keyspace(N_CONVS)
+SEG_SPAN = KS // 2  # era boundaries (KS, 2*KS) align to segment boundaries
+
+
+@pytest.fixture(scope="module")
+def ledger(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc")
+    ledger_dir = str(root / "ledger")
+    ev = gen_events(spark, N_CONVS, parts=4, seed=42)
+    write_ledger(ev, ledger_dir, n_convs=N_CONVS, seg_span=SEG_SPAN)
+    pdf = ev.toPandas()
+    return {"dir": ledger_dir, "events": pdf, "root": root}
+
+
+@pytest.fixture(scope="module")
+def golden(spark, ledger):
+    table_root = str(ledger["root"] / "golden_table")
+    ck = str(ledger["root"] / "golden_ck")
+    backfill(spark, ledger["dir"], table_root, ck, salts=None)
+    t = IceboxTable(table_root)
+    fp = table_fingerprint(scan(spark, t))
+    return {"table_root": table_root, "fingerprint": fp}
+
+
+def _expected_live_pandas(events):
+    """Independent pandas oracle with era masking: columns not yet in
+    the ledger schema at a mutation's lsn were never delivered."""
+    pdf = events.copy()
+    pdf.loc[pdf["lsn"] < KS, "tool"] = None
+    pdf.loc[pdf["lsn"] < 2 * KS, "tool_version"] = None
+    return expected_lww_pandas(pdf, payload_cols=("role", "text", "tool", "tool_version"))
+
+
+def test_backfill_matches_pandas_oracle(spark, ledger, golden):
+    t = IceboxTable(golden["table_root"])
+    live = (
+        read_live(spark, t)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    exp = _expected_live_pandas(ledger["events"])
+    assert len(live) == len(exp)
+    live = live[exp.columns.tolist()].reset_index(drop=True)
+    # per-turn text equality under stable (conv_id, turn_idx) ordering
+    assert (live["conv_id"] == exp["conv_id"]).all()
+    assert (live["turn_idx"] == exp["turn_idx"]).all()
+    assert live["text"].equals(exp["text"])
+    assert live["role"].equals(exp["role"])
+    assert live["tool"].equals(exp["tool"])
+    assert live["tool_version"].equals(exp["tool_version"])
+    assert live["ts"].equals(exp["ts"])
+
+
+@pytest.mark.parametrize("max_segments", [4, 9])
+def test_incremental_splits_reconverge(spark, ledger, golden, tmp_path, max_segments):
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    recs = run_increment(
+        spark, ledger["dir"], table_root, ck,
+        max_segments_per_part=max_segments, salts=None,
+    )
+    assert len({r["epoch"] for r in recs}) > 1  # genuinely multi-batch
+    t = IceboxTable(table_root)
+    assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
+    assert states_equal(
+        read_live(spark, t), read_live(spark, IceboxTable(golden["table_root"]))
+    )
+
+
+def test_resume_from_every_intermediate_checkpoint(spark, ledger, golden, tmp_path):
+    """Run in batches, snapshotting (table+checkpoint) after each epoch;
+    every snapshot resumes to the same final fingerprint."""
+    base_t = str(tmp_path / "t")
+    base_c = str(tmp_path / "ck")
+    saves = []
+    epoch = 0
+    while True:
+        recs = run_increment(
+            spark, ledger["dir"], base_t, base_c,
+            max_segments_per_part=6, max_epochs=1, salts=None,
+        )
+        if not recs:
+            break
+        epoch += 1
+        save_t, save_c = str(tmp_path / f"t{epoch}"), str(tmp_path / f"ck{epoch}")
+        shutil.copytree(base_t, save_t)
+        shutil.copytree(base_c, save_c)
+    assert epoch >= 2
+    final = table_fingerprint(scan(spark, IceboxTable(base_t)))
+    assert final == golden["fingerprint"]
+    for i in range(1, epoch + 1):
+        run_increment(
+            spark, ledger["dir"], str(tmp_path / f"t{i}"), str(tmp_path / f"ck{i}"),
+            salts=None,
+        )
+        assert table_fingerprint(scan(spark, IceboxTable(str(tmp_path / f"t{i}")))) == golden["fingerprint"], f"resume from epoch {i} diverged"
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+@pytest.mark.parametrize(
+    "crash_at", ["pre_evolve", "pre_merge", "post_snapshot", "post_checkpoint"]
+)
+def test_crash_injection_reconverges(spark, ledger, golden, tmp_path, crash_at):
+    """Kill the runner at each commit-protocol boundary mid-stream, then
+    restart cold — state must reconverge.  'post_snapshot' is the
+    canonical torn-commit window the epoch fence repairs."""
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    # first epoch = era-1 segments only, so the `tool` column genuinely
+    # arrives mid-stream in a later epoch (exercises pre_evolve)
+    run_increment(
+        spark, ledger["dir"], table_root, ck,
+        max_segments_per_part=2, max_epochs=1, salts=None,
+    )
+    fired = {"n": 0}
+
+    def hook(point):
+        if point == crash_at:
+            fired["n"] += 1
+            raise _Boom(point)
+
+    with pytest.raises(_Boom):
+        run_increment(
+            spark, ledger["dir"], table_root, ck,
+            max_segments_per_part=6, salts=None, crash_hook=hook,
+        )
+    assert fired["n"] == 1
+    # cold restart, no hook: drain to completion
+    run_increment(spark, ledger["dir"], table_root, ck, salts=None)
+    t = IceboxTable(table_root)
+    assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
+    assert states_equal(
+        read_live(spark, t), read_live(spark, IceboxTable(golden["table_root"]))
+    )
+
+
+def test_salted_run_reconverges(spark, ledger, golden, tmp_path):
+    table_root = str(tmp_path / "t")
+    run_increment(
+        spark, ledger["dir"], table_root, str(tmp_path / "ck"),
+        max_segments_per_part=8, salts=8,
+    )
+    assert table_fingerprint(scan(spark, IceboxTable(table_root))) == golden["fingerprint"]
+
+
+def test_schema_evolution_recorded(spark, golden):
+    """Mid-stream additive evolution: later schema versions append
+    `tool` / `tool_version` with fresh column ids; early rows backfill
+    NULL."""
+    t = IceboxTable(golden["table_root"])
+    names = [f["name"] for f in t.schema_fields()]
+    assert "tool" in names and "tool_version" in names
+    live = read_live(spark, t)
+    assert live.filter(F.col("tool_version").isNotNull()).count() > 0
+    assert live.filter(F.col("tool").isNull()).count() > 0
