@@ -1,0 +1,107 @@
+"""Round benchmark (driver contract): runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the CDC MERGE-apply throughput bench on a
+deterministic synthetic ledger (BASELINE.md metric), and prints ONE
+JSON line.
+
+Extra keys beyond the driver contract: ``cdc_events_per_sec`` (the
+BASELINE.md headline), ``cdc_events``, ``cdc_epochs``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stellar_ingest.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "agg_basic",
+    "join_large",
+    "join_broadcast",
+    "win_rank",
+    "topk_per_group",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_quality",
+    "ann_cosine_topk",
+    "win_tumbling",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from stellar_ingest import registry
+
+    qs = registry.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        # count() forces full execution without driver-side materialization
+        df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def bench_cdc(spark, n_convs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from stellar_ingest.cdc.runner import run_increment
+    from stellar_ingest.gen.changelog import gen_events, keyspace, write_ledger
+
+    work = tempfile.mkdtemp(prefix="stellar_bench_")
+    try:
+        ev = gen_events(spark, n_convs, parts=8, seed=42)
+        n_events = ev.count()
+        write_ledger(ev, f"{work}/ledger", n_convs=n_convs, seg_span=keyspace(n_convs) // 2)
+        t0 = time.monotonic()
+        recs = run_increment(
+            spark,
+            f"{work}/ledger",
+            f"{work}/table",
+            f"{work}/ck",
+            max_segments_per_part=None,  # one availableNow drain per epoch burst
+            salts=None,
+            num_buckets=32,
+        )
+        wall = time.monotonic() - t0
+        return {
+            "cdc_events": int(n_events),
+            "cdc_epochs": len({r["epoch"] for r in recs}),
+            "cdc_wall_sec": round(wall, 3),
+            "cdc_events_per_sec": round(n_events / wall, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("STELLAR_BENCH_CONVS", "120000"))
+    spark = get_spark("stellar-bench", cores=cpus, shuffle_partitions=8 * cpus)
+
+    queries = bench_queries(spark, sf_dir)
+    cdc = bench_cdc(spark, n_convs)
+
+    total = round(sum(queries.values()) + cdc["cdc_wall_sec"], 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **cdc,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""CLI entry points (SURVEY.md §3.1/§3.2; reference analogue: one-shot
+CLI + long-running service [PK-med]).
+
+Usage (spark-submit --py-files stellar_ingest.zip)::
+
+    python -m stellar_ingest.cli backfill --ledger L --table T --checkpoint C
+    python -m stellar_ingest.cli run      --ledger L --table T --checkpoint C \
+        [--max-segments-per-part N] [--max-epochs K] [--salts auto|none|INT]
+    python -m stellar_ingest.cli gen      --out L --convs N [--parts P]
+    python -m stellar_ingest.cli show     --table T [--snapshot ID]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _salts(v: str):
+    if v == "auto":
+        return "auto"
+    if v in ("none", "0", ""):
+        return None
+    return int(v)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="stellar_ingest.cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--cores", type=int, default=None)
+    common.add_argument("--shuffle-partitions", type=int, default=None)
+
+    for name in ("backfill", "run"):
+        p = sub.add_parser(name, parents=[common])
+        p.add_argument("--ledger", required=True)
+        p.add_argument("--table", required=True)
+        p.add_argument("--checkpoint", required=True)
+        p.add_argument("--num-buckets", type=int, default=64)
+        p.add_argument("--salts", type=_salts, default="auto")
+        if name == "run":
+            p.add_argument("--max-segments-per-part", type=int, default=None)
+            p.add_argument("--max-epochs", type=int, default=None)
+
+    g = sub.add_parser("gen", parents=[common])
+    g.add_argument("--out", required=True)
+    g.add_argument("--convs", type=int, required=True)
+    g.add_argument("--parts", type=int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+
+    s = sub.add_parser("show")
+    s.add_argument("--table", required=True)
+    s.add_argument("--snapshot", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "show":
+        from .lake.core import IceboxTable
+
+        t = IceboxTable(args.table)
+        meta = t.metadata()
+        out = {
+            "current_snapshot_id": meta["current_snapshot_id"],
+            "num_buckets": meta["num_buckets"],
+            "schema": [f["name"] for f in t.schema_fields()],
+            "snapshots": [
+                {k: s_[k] for k in ("snapshot_id", "operation", "total_rows", "summary")}
+                for s_ in meta["snapshots"]
+            ],
+        }
+        print(json.dumps(out, indent=1))
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(
+        f"stellar-{args.cmd}", cores=args.cores, shuffle_partitions=args.shuffle_partitions
+    )
+
+    if args.cmd == "gen":
+        from .gen.changelog import generate_ledger
+
+        ev = generate_ledger(
+            spark, args.out, n_convs=args.convs, parts=args.parts, seed=args.seed
+        )
+        print(json.dumps({"events": ev.count(), "out": args.out}))
+        return 0
+
+    from .cdc.runner import backfill, run_increment
+
+    kwargs = dict(salts=args.salts, num_buckets=args.num_buckets)
+    if args.cmd == "backfill":
+        recs = backfill(spark, args.ledger, args.table, args.checkpoint, **kwargs)
+    else:
+        recs = run_increment(
+            spark,
+            args.ledger,
+            args.table,
+            args.checkpoint,
+            max_segments_per_part=args.max_segments_per_part,
+            max_epochs=args.max_epochs,
+            **kwargs,
+        )
+    total = sum(r["rows"] for r in recs)
+    epochs = sorted({r["epoch"] for r in recs})
+    print(json.dumps({"epochs": epochs, "rows": total, "records": len(recs)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

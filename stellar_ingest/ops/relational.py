@@ -23,6 +23,22 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ts_utc(col):
+    """Parquet timestamps read back as TIMESTAMP_NTZ in Spark 4; cast to
+    session-TZ (UTC) TIMESTAMP so epoch functions accept them — wall
+    time is unchanged."""
+    return F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp")
+
+
+def dbl(col):
+    """Final-output numeric convention: exact DECIMAL math internally,
+    one correctly-rounded cast to DOUBLE at the end — DuckDB's pandas
+    bridge renders DECIMAL as float64, so DOUBLE is the only type both
+    engines hand to the comparator bit-identically (unscaled values are
+    kept < 2^53)."""
+    return col.cast("double")
+
+
 # -- reusable operators ------------------------------------------------------
 
 
@@ -46,7 +62,7 @@ def q_scan_parquet(spark, sf):
     return (
         tbl(spark, sf, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .filter(F.col("l_shipdate") < "1995-01-01")
+        .filter(F.col("l_shipdate") < "1998-06-01")
     )
 
 
@@ -88,9 +104,11 @@ def q_derive(spark, sf):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("decimal(18,4)")
-        .alias("net_price"),
+        dbl(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("net_price"),
         (F.col("l_quantity") > 25).alias("bulk"),
     )
 
@@ -99,10 +117,12 @@ def q_cast_types(spark, sf):
     o = tbl(spark, sf, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        dbl(F.col("o_totalprice").cast("decimal(12,2)")).alias("price_dec"),
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.col("o_orderdate").cast("date").alias("odate"),
-        F.try_cast(F.col("o_orderpriority"), "int").alias("prio_int"),
+        # DATE rendered as string: DuckDB's pandas bridge widens DATE to
+        # datetime64, Spark keeps date objects — strings compare cleanly
+        F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
     )
 
 
@@ -145,7 +165,7 @@ def q_distinct_rows(spark, sf):
 ORACLE = {
     "scan_parquet": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
-        FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01'
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01'
     """,
     "scan_csv": "SELECT r_regionkey, r_name FROM region",
     "project": "SELECT c_custkey, c_name, c_mktsegment AS segment FROM customer",
@@ -156,15 +176,15 @@ ORACLE = {
     """,
     "derive": """
         SELECT l_orderkey, l_linenumber,
-               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price,
+               CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net_price,
                l_quantity > 25 AS bulk
         FROM lineitem
     """,
     "cast_types": """
         SELECT o_orderkey,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
                CAST(o_orderkey AS VARCHAR) AS key_str,
-               CAST(o_orderdate AS DATE) AS odate,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
                TRY_CAST(o_orderpriority AS INT) AS prio_int
         FROM orders
     """,

@@ -1,0 +1,258 @@
+"""Similarity search over the ``embeddings`` table (array<float>
+column): brute-force cosine top-k as the exactness baseline, a
+sign-random-projection LSH bucketing as the scale path, and
+embedding-cosine near-duplicate pairs.
+
+Dot products are UDF-free: ``aggregate(zip_with(a,b,(x,y)->x*y), 0D,
+(s,x)->s+x)`` — a sequential left fold, which both Spark and DuckDB
+reproduce deterministically (results rounded to 6 dp before any
+threshold so engine ulp noise can't flip a comparison).
+
+Scale notes: brute force is O(Q x N) — fine for small query sets
+(broadcast the queries, the corpus never shuffles).  The LSH variant
+buckets by a b-bit signature of deterministic hash-derived hyperplanes:
+candidates collapse to a same-bucket equi-join (shuffle key = bucket,
+uniform by construction), turning quadratic search near-linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import hex64
+from .relational import tbl
+
+LSH_BITS = 8
+LSH_DIM_STRIDE = 8  # hyperplane i uses dims [i*stride, (i+1)*stride)
+
+
+def as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a):
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a, b):
+    return F.round(dot_expr(a, b) / (norm_expr(a) * norm_expr(b)), 6)
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, rank, keep k.
+    ``queries``/``corpus``: (vec_id, embedding)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = corpus.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id")).select(
+        "query_id",
+        "cand_id",
+        cosine_expr(as_double(F.col("q_emb")), as_double(F.col("c_emb"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def lsh_signature_expr(emb, bits: int = LSH_BITS, stride: int = LSH_DIM_STRIDE):
+    """b-bit sign signature: bit i = sign(sum of a deterministic
+    hash-weighted slice of the embedding).  Hyperplane weights are
+    +1/-1 from hex64(i, j) — reproducible on any engine, no stored
+    model."""
+    embd = as_double(emb)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        slice_i = F.slice(embd, i * stride + 1, stride)
+        proj = F.aggregate(
+            F.zip_with(
+                slice_i,
+                F.sequence(F.lit(i * stride), F.lit((i + 1) * stride - 1)),
+                lambda x, j: F.when(
+                    F.pmod(hex64(F.concat_ws(",", F.lit("hp"), j.cast("string"))), F.lit(2)) == 1,
+                    x,
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def _table_sig_expr(emb, table: int, bits: int, dim: int):
+    """One LSH table's b-bit signature: each bit is the sign of a
+    full-dimension random-hyperplane projection whose ±1 weights derive
+    from hex64(table, bit, dim-index) — deterministic, engine-agnostic."""
+    embd = as_double(emb)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                embd,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: F.when(
+                    F.pmod(
+                        F.xxhash64(F.lit("hp"), F.lit(table), F.lit(b), j), F.lit(2)
+                    )
+                    == 1,
+                    x,
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def lsh_bucketed_candidates(
+    corpus: DataFrame, *, tables: int = 8, bits: int = 4, dim: int = 64
+) -> DataFrame:
+    """ANN scale path: MULTI-TABLE sign-LSH.  A single table's collision
+    probability for cosine≈0.45 neighbors is (1-θ/π)^bits ≈ 0.18 — too
+    low; the union over L tables lifts recall to 1-(1-p)^L ≈ 0.8.
+    Candidates collapse to an equi-join on (table, signature) — uniform
+    shuffle keys, near-linear instead of quadratic pair generation."""
+    sigs = corpus.select(
+        "vec_id",
+        "embedding",
+        F.array(
+            *[_table_sig_expr(F.col("embedding"), t, bits, dim) for t in range(tables)]
+        ).alias("sigs"),
+    )
+    exploded = sigs.select(
+        "vec_id", "embedding", F.posexplode("sigs").alias("tbl", "sig")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+        .join(corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")), "vec_a")
+        .join(corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_expr(as_double(F.col("ea")), as_double(F.col("eb"))).alias("cos"),
+        )
+    )
+
+
+def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, bounded corpus)."""
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_expr(as_double(F.col("ea")), as_double(F.col("eb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# -- oracle-paired queries ---------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf):
+    emb = tbl(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_dedup_embedding(spark, sf):
+    # synthetic embeddings are near-orthogonal (cos ∈ [-0.5, 0.5]); 0.4
+    # marks the top ~0.05% of pairs as "near-dups" so the operator's
+    # pair set is non-trivial at every sf
+    return cosine_neardup_pairs(
+        tbl(spark, sf, "embeddings").filter(F.col("vec_id") < 300), threshold=0.4
+    )
+
+
+def q_ann_lsh_sig(spark, sf):
+    """LSH signatures are oracle-verifiable (pure hash algebra); the
+    bucket-join recall is pytest-verified (⊘)."""
+    e = tbl(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return e.select("vec_id", lsh_signature_expr(F.col("embedding")).alias("sig"))
+
+
+def _fold_dot_sql(a: str, b: str) -> str:
+    return f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (x, y) -> x + y)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_fold_dot_sql(a, b)} / "
+        f"(sqrt({_fold_dot_sql(a, a)}) * sqrt({_fold_dot_sql(b, b)})), 6)"
+    )
+
+
+def _lsh_sig_oracle(bits: int = LSH_BITS, stride: int = LSH_DIM_STRIDE) -> str:
+    terms = []
+    for i in range(bits):
+        lo = i * stride + 1
+        weights = ", ".join(
+            f"CASE WHEN ('0x' || substr(md5(concat_ws(',', 'hp', {j})), 1, 15))::BIGINT % 2 = 1 THEN 1.0 ELSE -1.0 END"
+            for j in range(i * stride, (i + 1) * stride)
+        )
+        proj = (
+            f"list_reduce(list_transform(list_zip((e[{lo}:{lo + stride - 1}])::DOUBLE[], "
+            f"[{weights}]), p -> p[1] * p[2]), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**i} ELSE 0 END")
+    return f"""
+        WITH t AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 200)
+        SELECT vec_id, CAST({' + '.join(terms)} AS BIGINT) AS sig FROM t
+    """
+
+
+ORACLE = {
+    "ann_cosine_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT query_id, c.vec_id AS cand_id,
+                   {_cos_sql('qe', 'c.embedding::DOUBLE[]')} AS cos
+            FROM q JOIN embeddings c ON c.vec_id <> query_id
+        )
+        SELECT query_id, cand_id, cos, CAST(rnk AS INT) AS rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, cand_id) AS rnk
+            FROM scored) WHERE rnk <= 5
+    """,
+    "dedup_embedding": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos_sql('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b ON a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= 0.4
+    """,
+    "ann_lsh_sig": _lsh_sig_oracle(),
+}
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_lsh_sig": q_ann_lsh_sig,
+}

@@ -1,0 +1,98 @@
+"""Query + oracle registry: the driver-facing correctness surface
+(SURVEY.md §2 Key column; consumed by __spark_entry__.py).
+
+Every oracle-able operator contributes a (queries, oracle_sql) pair;
+non-SQL-expressible operators (CDC composites, streaming state,
+LSH bucket joins, multimodal codec stages) register a rows-only query
+and are additionally pytest-verified (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ops import aggregates, dedup, functions, joins, multimodal, relational, similarity, text, windows
+from .ops.relational import tbl
+
+_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, multimodal]
+
+
+def q_approx_count_distinct(spark, sf):
+    """HLL sketch (op 29) — rows-only check (not bit-exact vs DuckDB)."""
+    li = tbl(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
+    )
+
+
+def q_win_session(spark, sf):
+    """Session windows (op 57): 30-minute-gap sessionization of events.
+    Oracle = gaps-and-islands SQL (identical semantics: a gap >= the
+    timeout starts a new session)."""
+    e = tbl(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
+def q_cdc_transcripts(spark, sf):
+    """The CDC engine end-to-end (ops 3,9,60,66-74) — synthesizes a
+    mini-ledger, ingests it incrementally with exactly-once commits,
+    returns reassembled transcripts.  Rows-only for the driver;
+    bit-level replay equality is pytest-verified (tests/test_replay.py)."""
+    from .flagship import flagship
+
+    return flagship(spark, n_convs=12)
+
+
+_EXTRA_QUERIES = {
+    "approx_count_distinct": q_approx_count_distinct,
+    "win_session": q_win_session,
+    "cdc_transcripts": q_cdc_transcripts,
+}
+
+_EXTRA_ORACLE = {
+    "win_session": """
+        WITH x AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        y AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x
+        )
+        SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+        FROM y GROUP BY user_id, sid
+    """,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(getattr(m, "ORACLE", {}))
+    out.update(_EXTRA_ORACLE)
+    return out

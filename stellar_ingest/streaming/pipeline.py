@@ -1,0 +1,97 @@
+"""Structured Streaming adapter (SURVEY.md §2.9 ops 55-60).
+
+The engine's canonical driver is the self-driven batch loop
+(cdc/runner.py — deterministic epochs, trivially resumable; SURVEY.md
+§7 M2 decision).  This module is the Structured Streaming expression of
+the same pipeline for deployments that want SS semantics: file-source
+``readStream`` over ledger segments → watermark + in-stream dedupe →
+``foreachBatch`` into the SAME MERGE/commit path, with
+``availableNow`` for drain-style runs.
+
+Note the exactly-once story differs: SS tracks file-source offsets in
+its own checkpoint; our epoch fence on the snapshot summary makes the
+``foreachBatch`` body idempotent anyway, so replays of a batch after an
+SS restart cannot double-apply (the same property tests/test_replay.py
+proves for the batch loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cdc.validate import split_valid
+from ..lake.core import IceboxTable
+from ..lake.merge import merge_apply
+from ..schema import CHANGELOG_SCHEMA, table_schema_for
+
+
+def read_changelog_stream(
+    spark: SparkSession, ledger_dir: str, *, schema=None
+) -> DataFrame:
+    """File-source stream over ledger segments (op 3, streaming form)."""
+    schema = schema or CHANGELOG_SCHEMA
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(ledger_dir)
+    )
+
+
+def with_stream_dedupe(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked at-source dedupe (ops 55/58):
+    dropDuplicatesWithinWatermark bounds the dedupe state — late
+    duplicates beyond the watermark fall through to the MERGE window,
+    which absorbs them idempotently."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["src_part", "lsn"]
+    )
+
+
+def run_streaming(
+    spark: SparkSession,
+    ledger_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    *,
+    num_buckets: int = 16,
+    available_now: bool = True,
+):
+    """Drain the ledger through Structured Streaming into the icebox
+    table.  One snapshot per micro-batch; epoch = SS batch id + 1."""
+    stream = with_stream_dedupe(
+        read_changelog_stream(spark, ledger_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        valid, _bad = split_valid(batch_df)
+        table = IceboxTable(table_root)
+        if not table.exists():
+            IceboxTable.create(
+                table_root,
+                table_schema_for(valid.schema),
+                num_buckets=num_buckets,
+            )
+            table = IceboxTable(table_root)
+        snap = table.current_snapshot()
+        epoch = int(snap["summary"].get("epoch", 0)) if snap else 0
+        if snap and int(snap["summary"].get("ss_batch_id", -1)) >= batch_id:
+            return  # epoch fence: this SS batch already committed
+        merge_apply(
+            spark,
+            table,
+            valid,
+            summary={"epoch": epoch + 1, "ss_batch_id": batch_id},
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", f"{checkpoint_dir}/ss"
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

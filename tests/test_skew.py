@@ -1,0 +1,87 @@
+"""Skew handling (SURVEY.md §5 layer 5, §2 ops 25/73): a whale
+conversation holding ~50% of all mutations must (a) trigger the census,
+(b) produce identical results salted vs unsalted, (c) ingest correctly
+through the salted MERGE path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stellar_ingest.cdc.resolve import lww_winners
+from stellar_ingest.cdc.runner import run_increment
+from stellar_ingest.cdc.skew import census_hot_keys, plan_salts
+from stellar_ingest.gen.changelog import keyspace
+from stellar_ingest.lake.core import IceboxTable
+from stellar_ingest.lake.read import read_live, scan
+from stellar_ingest.schema import CHANGELOG_SCHEMA
+from stellar_ingest.verify.diff import states_equal
+from stellar_ingest.verify.fingerprint import table_fingerprint
+
+from .helpers import ts
+
+
+def _whale_ledger_df(spark, n_events: int = 4000):
+    """~50% of events hit ONE (conv_id, turn_idx) key."""
+    half = n_events // 2
+    whale = spark.range(half).select(
+        F.col("id").alias("lsn"),
+        F.lit(0).cast("int").alias("src_part"),
+        F.when(F.col("id") == 0, "I").otherwise("U").alias("op"),
+        F.lit("whale").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.format_string("w/v%d", F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(1767225600 + F.col("id")).alias("ts"),
+    )
+    rest = spark.range(half).select(
+        (F.col("id") + half).alias("lsn"),
+        F.lit(1).cast("int").alias("src_part"),
+        F.when(F.pmod("id", F.lit(3)) == 0, "I").otherwise("U").alias("op"),
+        F.format_string("conv%04d", F.pmod("id", F.lit(200))).alias("conv_id"),
+        F.pmod("id", F.lit(7)).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.format_string("r/v%d", F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(1767225600 + F.col("id")).alias("ts"),
+    )
+    return whale.unionByName(rest)
+
+
+def test_census_detects_whale(spark):
+    df = _whale_ledger_df(spark)
+    hot = census_hot_keys(df, threshold=500, sample_fraction=0.2)
+    assert ("whale", 0) in hot
+    assert plan_salts(df, threshold=500, sample_fraction=0.2) is not None
+    # uniform data does not trigger salting
+    uniform = df.filter(F.col("conv_id") != "whale")
+    assert plan_salts(uniform, threshold=500, sample_fraction=0.2) is None
+
+
+def test_salted_equals_unsalted_on_whale(spark):
+    df = _whale_ledger_df(spark)
+    assert states_equal(lww_winners(df), lww_winners(df, salts=16))
+
+
+def test_salted_ingest_matches_unsalted(spark, tmp_path):
+    df = _whale_ledger_df(spark, 2000)
+    ledger = str(tmp_path / "ledger")
+    (
+        df.withColumn("part", F.col("src_part"))
+        .withColumn("seg", (F.col("lsn") / 500).cast("int"))
+        .repartition("part", "seg")
+        .sortWithinPartitions("lsn")
+        .write.partitionBy("part", "seg")
+        .parquet(ledger)
+    )
+    fps = {}
+    for mode, salts in [("plain", None), ("salted", 16), ("auto", "auto")]:
+        run_increment(
+            spark, ledger, str(tmp_path / f"t_{mode}"), str(tmp_path / f"ck_{mode}"),
+            max_segments_per_part=1, salts=salts, num_buckets=8,
+        )
+        fps[mode] = table_fingerprint(scan(spark, IceboxTable(str(tmp_path / f"t_{mode}"))))
+    assert fps["plain"] == fps["salted"] == fps["auto"]
+    live = read_live(spark, IceboxTable(str(tmp_path / "t_salted")))
+    whale_row = live.filter(F.col("conv_id") == "whale").collect()
+    assert len(whale_row) == 1 and whale_row[0]["text"] == "w/v999"

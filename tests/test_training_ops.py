@@ -1,0 +1,93 @@
+"""Training-data pipeline operators that aren't SQL-oracle-able:
+MinHash-LSH pair recall, LSH-ANN recall vs brute force, multimodal
+Arrow plumbing (⊘ rows in SURVEY.md §2 terms)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stellar_ingest.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from stellar_ingest.ops.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    synthesize_media,
+)
+from stellar_ingest.ops.similarity import (
+    brute_force_topk,
+    lsh_bucketed_candidates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_dups(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 150)
+    # plant near-duplicates: copies with a one-word prefix change
+    dups = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("dup "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(dups)
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    docs = _docs_with_dups(spark)
+    pairs = minhash_lsh_pairs(docs).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(i, i + 10000) for i in range(10)}
+    # banding is probabilistic but near-identical docs share ≥1 band
+    hits = planted & found
+    assert len(hits) >= 7, f"LSH recall too low: {sorted(hits)}"
+
+
+def test_ngram_jaccard_scores_planted_dups_high(spark):
+    docs = _docs_with_dups(spark)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    jmap = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    hits = [(a, b) for (a, b) in jmap if b - a == 10000]
+    assert len(hits) >= 8
+
+
+def test_lsh_ann_finds_planted_neighbors(spark):
+    """Multi-table sign-LSH: plant true near-duplicates (cos≈1) in a
+    near-orthogonal corpus; LSH must recover them while passing only a
+    small fraction of the quadratic pair space (the scale rationale)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01 + 0.002).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    cands = lsh_bucketed_candidates(corpus, tables=8, bits=8).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in cands}
+    want = {(i, i + 10000) for i in range(15)}
+    hits = want & found
+    n = corpus.count()
+    quad = n * (n - 1) / 2
+    assert len(cands) < 0.10 * quad, f"bucketing too loose: {len(cands)}/{quad}"
+    assert len(hits) >= 13, f"planted-neighbor recall {len(hits)}/15"
+    # and LSH-scored cosines agree with the brute-force top-1 for the
+    # planted queries (cos ≈ 1 dominates everything else)
+    exact = brute_force_topk(corpus, corpus.filter(F.col("vec_id") >= 10000), k=1)
+    top1 = {r["query_id"]: r["cand_id"] for r in exact.collect()}
+    assert all(top1[10000 + i] == i for i in range(15))
+
+
+def test_multimodal_batch_plumbing(spark):
+    media = synthesize_media(spark, SF)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    r0 = rows[0]
+    assert len(r0["feature"]) == FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in r0["feature"])
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert again[r0["media_id"]] == r0["feature"]
+    # metadata struct round-trips
+    m = media.select("meta.width", "meta.height").first()
+    assert m["width"] >= 16 and m["height"] >= 16
