@@ -43,7 +43,7 @@ from . import lineage as lin
 from .dedupe import hwm_predicate
 from .skew import plan_salts
 from .source import list_segments, read_batch, select_batch
-from .validate import split_valid
+from .validate import split_valid, validity_predicate
 
 
 def _fence_and_repair(table: IceboxTable, checkpoint_dir: str, ck: dict) -> dict:
@@ -97,9 +97,10 @@ def run_increment(
 
         raw = read_batch(spark, chosen, ck["offsets"], cutoffs).persist()
         try:
-            valid, bad = split_valid(raw)
-            n_bad = bad.count()
-            pstats = lin.batch_partition_stats(valid)
+            valid, _bad = split_valid(raw)
+            pstats, n_bad = lin.batch_stats_with_quarantine(
+                raw, validity_predicate()
+            )
 
             # new offsets: planned cutoffs (deterministic even for
             # batches whose rows were all duplicates/quarantined)

@@ -147,26 +147,28 @@ def select_batch(
         if s.max_lsn > offsets.get(s.src_part, -1):
             by_part.setdefault(s.src_part, []).append(s)
     for part, segs in sorted(by_part.items()):
-        segs.sort(key=lambda s: (s.min_lsn, s.path))
         if max_segments_per_part is None:
-            take = segs
+            cutoff = max(s.max_lsn for s in segs)
         else:
-            # lsn ranges of different files can interleave (duplicate
-            # re-deliveries are written into LATER segments with OLD
-            # lsns — FIXTURES.md §C).  The consumed-through cutoff must
-            # cover every pending file whose range dips below it, or
-            # those rows would be high-watermark-filtered forever.
-            # Expand the selection to that fixpoint.
-            take = segs[: max_segments_per_part]
-            hi = max(s.max_lsn for s in take)
-            while True:
-                extra = [s for s in segs if s not in take and s.min_lsn <= hi]
-                if not extra:
-                    break
-                take = take + extra
-                hi = max(hi, max(s.max_lsn for s in extra))
+            # lsn ranges of different files interleave (duplicate
+            # re-deliveries land in LATER segments carrying OLD lsns —
+            # FIXTURES.md §C), so "take the first k files" cannot define
+            # a batch.  Instead the batch is defined by an lsn CUTOFF:
+            # the k-th smallest pending max_lsn.  Every pending file
+            # whose range dips at-or-below the cutoff is read (nothing
+            # below the new high-watermark is ever skipped); rows above
+            # the cutoff inside those files defer to later epochs via
+            # the (hwm, cutoff] filter.  Progress is guaranteed — the
+            # cutoff is always a pending max_lsn > hwm — and batch size
+            # stays ~k segments regardless of how redeliveries
+            # interleave (a naive fixpoint expansion cascades into one
+            # giant batch when every segment contains redelivered rows).
+            maxes = sorted(s.max_lsn for s in segs)
+            cutoff = maxes[min(max_segments_per_part, len(maxes)) - 1]
+        take = [s for s in segs if s.min_lsn <= cutoff]
+        take.sort(key=lambda s: (s.min_lsn, s.path))
         chosen += take
-        cutoffs[part] = max(s.max_lsn for s in take)
+        cutoffs[part] = cutoff
     return chosen, cutoffs
 
 

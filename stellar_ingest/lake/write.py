@@ -45,14 +45,18 @@ def write_data_files(
     """Materialize ``df`` (must carry a ``__bucket`` int column) as
     immutable parquet under a fresh commit dir; returns manifest entries
     ``{path, bucket, rows}``.  This is an action (the one big job)."""
-    spark = df.sparkSession
     tag = f"snap-pending-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table.data_dir, tag)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]), F.lit(WRITE_SALT))
-    n = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # no explicit partition count: AQE coalesces the repartition to the
+    # batch's actual size, so small batches don't fragment into hundreds
+    # of tiny files while big batches still fan out
+    if shuffle_partitions:
+        shuffled = df.repartition(shuffle_partitions, F.col("__bucket"), salt)
+    else:
+        shuffled = df.repartition(F.col("__bucket"), salt)
     (
-        df.repartition(n, F.col("__bucket"), salt)
-        .sortWithinPartitions("__bucket", *sort_cols)
+        shuffled.sortWithinPartitions("__bucket", *sort_cols)
         .write.partitionBy("__bucket")
         .mode("overwrite")
         .parquet(out)
