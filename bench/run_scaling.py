@@ -19,7 +19,9 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench.scaling_job import MARKER  # noqa: E402
+# bench.py (file) shadows the bench/ dir as a module — duplicate the
+# marker constant instead of importing it
+MARKER = "SCALING_RESULT "
 
 SMALL, LARGE = 8, 32
 
@@ -37,10 +39,17 @@ def build_pyfiles_zip(dest: str) -> str:
 
 
 def run_one(zpath: str, ledger: str, work: str, cores: int, events: int) -> dict:
+    # Fixed moderate heap for BOTH runs: measured on this host, a 16-32g
+    # G1 heap makes the merge stage 5-10x slower and wildly variable
+    # under local[32] (lazy heap growth + giant in-memory sorts); 8g is
+    # stable at both parallelism levels and the 2.5-10M-event batches
+    # never spill.  (--driver-memory must be a LAUNCH flag; setting
+    # spark.driver.memory at session time is ignored under spark-submit.)
     out = subprocess.run(
         [
             "spark-submit",
             "--master", f"local[{cores}]",
+            "--driver-memory", "8g",
             "--py-files", zpath,
             "--conf", "spark.ui.enabled=false",
             os.path.join(REPO, "bench", "scaling_job.py"),
@@ -63,20 +72,35 @@ def run_one(zpath: str, ledger: str, work: str, cores: int, events: int) -> dict
     )
 
 
-def main():
-    n_convs = int(os.environ.get("STELLAR_SCALING_CONVS", "120000"))
-    work = tempfile.mkdtemp(prefix="stellar_scaling_")
-    ledger = f"{work}/ledger"
-
-    # generate the shared seeded ledger in its own session, then release
+def prepare_ledger(work: str, n_convs: int) -> int:
+    """Generate the shared seeded ledger (separate step so repeat runs
+    reuse it: STELLAR_SCALING_LEDGER=<dir>)."""
     from stellar_ingest.gen.changelog import gen_events, keyspace, write_ledger
     from stellar_ingest.session import get_spark
 
     spark = get_spark("scaling-gen", cores=LARGE, shuffle_partitions=64)
     ev = gen_events(spark, n_convs, parts=8, seed=42)
     events = ev.count()
-    write_ledger(ev, ledger, n_convs=n_convs, seg_span=keyspace(n_convs) // 2)
+    write_ledger(ev, f"{work}/ledger", n_convs=n_convs, seg_span=keyspace(n_convs) // 2)
+    with open(f"{work}/events.txt", "w") as fh:
+        fh.write(str(events))
     spark.stop()
+    return events
+
+
+def main():
+    n_convs = int(os.environ.get("STELLAR_SCALING_CONVS", "1000000"))
+    work = os.environ.get("STELLAR_SCALING_LEDGER") or tempfile.mkdtemp(
+        prefix="stellar_scaling_"
+    )
+    ledger = f"{work}/ledger"
+    if os.path.isdir(ledger) and os.path.exists(f"{work}/events.txt"):
+        events = int(open(f"{work}/events.txt").read())
+    else:
+        events = prepare_ledger(work, n_convs)
+    if os.environ.get("STELLAR_SCALING_GEN_ONLY"):
+        print(json.dumps({"ledger": ledger, "events": events}))
+        return
 
     zpath = build_pyfiles_zip(work)
     r_small = run_one(zpath, ledger, work, SMALL, events)

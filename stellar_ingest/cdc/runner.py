@@ -95,71 +95,70 @@ def run_increment(
         if not chosen:
             break
 
-        raw = read_batch(spark, chosen, ck["offsets"], cutoffs).persist()
-        try:
-            valid, _bad = split_valid(raw)
-            pstats, n_bad = lin.batch_stats_with_quarantine(
-                raw, validity_predicate()
-            )
+        # no persist: the batch is consumed twice (stats agg + merge) and
+        # re-decoding footer-pruned parquet is cheaper than materializing
+        # the rows into executor memory — and stays true at 100 TB where
+        # caching a batch would evict everything else
+        raw = read_batch(spark, chosen, ck["offsets"], cutoffs)
+        valid, _bad = split_valid(raw)
+        pstats, n_bad = lin.batch_stats_with_quarantine(raw, validity_predicate())
 
-            # new offsets: planned cutoffs (deterministic even for
-            # batches whose rows were all duplicates/quarantined)
-            new_offsets = dict(ck["offsets"])
-            for part, hi in cutoffs.items():
-                new_offsets[part] = max(hi, new_offsets.get(part, -1))
+        # new offsets: planned cutoffs (deterministic even for
+        # batches whose rows were all duplicates/quarantined)
+        new_offsets = dict(ck["offsets"])
+        for part, hi in cutoffs.items():
+            new_offsets[part] = max(hi, new_offsets.get(part, -1))
 
-            # additive schema evolution BEFORE write (BASELINE.json:6)
-            batch_table_schema = table_schema_for(
-                T.StructType([f for f in valid.schema.fields])
+        # additive schema evolution BEFORE write (BASELINE.json:6)
+        batch_table_schema = table_schema_for(
+            T.StructType([f for f in valid.schema.fields])
+        )
+        if not table.exists():
+            IceboxTable.create(
+                table_root, batch_table_schema, num_buckets=num_buckets
             )
-            if not table.exists():
-                IceboxTable.create(
-                    table_root, batch_table_schema, num_buckets=num_buckets
-                )
-                table = IceboxTable(table_root)
-            else:
-                known = {f["name"] for f in table.schema_fields()}
-                new_cols = T.StructType(
-                    [f for f in batch_table_schema.fields if f.name not in known]
-                )
-                if len(new_cols.fields) > 0:
-                    hook("pre_evolve")
-                    table.evolve_schema(new_cols)
+            table = IceboxTable(table_root)
+        else:
+            known = {f["name"] for f in table.schema_fields()}
+            new_cols = T.StructType(
+                [f for f in batch_table_schema.fields if f.name not in known]
+            )
+            if len(new_cols.fields) > 0:
+                hook("pre_evolve")
+                table.evolve_schema(new_cols)
 
-            batch_salts = plan_salts(valid) if salts == "auto" else salts
+        batch_salts = plan_salts(valid) if salts == "auto" else salts
 
-            epoch = ck["epoch"] + 1
-            hook("pre_merge")
-            snapshot_id = merge_apply(
-                spark,
-                table,
-                valid,
-                salts=batch_salts,
-                summary={
-                    "epoch": epoch,
-                    "offsets": {str(k): int(v) for k, v in new_offsets.items()},
-                    "rows_in": sum(p["rows"] for p in pstats),
-                    "quarantined": n_bad,
-                },
-            )
-            hook("post_snapshot")
-            ckpt.save(
-                checkpoint_dir,
-                {"epoch": epoch, "offsets": new_offsets, "snapshot_id": snapshot_id},
-            )
-            hook("post_checkpoint")
+        epoch = ck["epoch"] + 1
+        hook("pre_merge")
+        snapshot_id = merge_apply(
+            spark,
+            table,
+            valid,
+            salts=batch_salts,
+            summary={
+                "epoch": epoch,
+                "offsets": {str(k): int(v) for k, v in new_offsets.items()},
+                "rows_in": sum(p["rows"] for p in pstats),
+                "quarantined": n_bad,
+            },
+        )
+        hook("post_snapshot")
+        ckpt.save(
+            checkpoint_dir,
+            {"epoch": epoch, "offsets": new_offsets, "snapshot_id": snapshot_id},
+        )
+        hook("post_checkpoint")
 
-            wall_ms = (time.monotonic() - t0) * 1000.0
-            all_records += lin.emit(
-                checkpoint_dir,
-                epoch=epoch,
-                snapshot_id=snapshot_id,
-                partition_stats=pstats,
-                wall_ms=wall_ms,
-                quarantined=n_bad,
-            )
-        finally:
-            raw.unpersist()
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        all_records += lin.emit(
+            checkpoint_dir,
+            epoch=epoch,
+            snapshot_id=snapshot_id,
+            partition_stats=pstats,
+            wall_ms=wall_ms,
+            quarantined=n_bad,
+        )
         epochs_done += 1
 
     return all_records

@@ -72,14 +72,21 @@ def merge_apply(
     bcol, nbuckets = meta["bucket_column"], meta["num_buckets"]
     bexpr = bucket_expr(bcol, nbuckets)
 
-    touched = sorted(
-        r[0]
-        for r in batch.select(bexpr.alias("__b")).distinct().collect()
-    )
-    if not touched:
-        return table.commit(added_files=[], summary=summary or {}, operation="merge")
+    if not table.files():
+        # empty table (backfill epoch 1): nothing to prune or carry —
+        # skip the touched-bucket discovery pass entirely (one full
+        # batch traversal saved on the largest batch of the run)
+        touched = None
+    else:
+        touched = sorted(
+            r[0] for r in batch.select(bexpr.alias("__b")).distinct().collect()
+        )
+        if not touched:
+            return table.commit(
+                added_files=[], summary=summary or {}, operation="merge"
+            )
 
-    existing = scan(spark, table, buckets=touched)
+    existing = scan(spark, table, buckets=touched or [])
     table_struct = fields_to_struct(table.schema_fields())
     union = batch.unionByName(
         _existing_as_changelog(existing), allowMissingColumns=True

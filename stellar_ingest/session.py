@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # ledger segments are many small files; default 128m split +
+        # 4m open-cost bin-packs them into too few read tasks to use
+        # the cluster — size splits for parallelism (at 100 TB with
+        # 256 MB files, raise maxPartitionBytes back via extra_conf)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("STELLAR_DRIVER_MEM", "8g"))
