@@ -42,6 +42,44 @@ def batch_partition_stats(batch: DataFrame) -> list[dict]:
     ]
 
 
+def observed_stats(raw: DataFrame, valid_pred, parts: list[int]):
+    """Zero-extra-pass lineage: attach an ``observe`` node computing
+    per-partition (lsn_from, lsn_to, rows) for valid rows + the
+    quarantine count as a SIDE EFFECT of whatever action consumes the
+    batch next (the MERGE itself) — the ledger is scanned exactly once
+    per epoch.  Returns (observed_df, Observation); call
+    ``collect_observed_stats`` after the action ran."""
+    from pyspark.sql import Observation
+
+    exprs = [F.count(F.when(~valid_pred, 1)).alias("quarantined")]
+    for p in sorted(parts):
+        ok = valid_pred & (F.col("src_part") == int(p))
+        exprs += [
+            F.min(F.when(ok, F.col("lsn"))).alias(f"from_{p}"),
+            F.max(F.when(ok, F.col("lsn"))).alias(f"to_{p}"),
+            F.count(F.when(ok, 1)).alias(f"rows_{p}"),
+        ]
+    obs = Observation("batch_stats")
+    return raw.observe(obs, *exprs), obs
+
+
+def collect_observed_stats(obs, parts: list[int]) -> tuple[list[dict], int]:
+    """(partition_stats, quarantined) from a filled Observation."""
+    got = obs.get
+    stats = []
+    for p in sorted(parts):
+        if got[f"rows_{p}"]:
+            stats.append(
+                {
+                    "src_part": int(p),
+                    "lsn_from": int(got[f"from_{p}"]),
+                    "lsn_to": int(got[f"to_{p}"]),
+                    "rows": int(got[f"rows_{p}"]),
+                }
+            )
+    return stats, int(got["quarantined"])
+
+
 def batch_stats_with_quarantine(raw: DataFrame, valid_pred) -> tuple[list[dict], int]:
     """Fused stats pass: per-partition lineage of VALID rows + the
     quarantine count, in ONE traversal of the (cached) batch instead of

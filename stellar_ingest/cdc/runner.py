@@ -100,8 +100,11 @@ def run_increment(
         # the rows into executor memory — and stays true at 100 TB where
         # caching a batch would evict everything else
         raw = read_batch(spark, chosen, ck["offsets"], cutoffs)
-        valid, _bad = split_valid(raw)
-        pstats, n_bad = lin.batch_stats_with_quarantine(raw, validity_predicate())
+        # lineage + quarantine stats ride along as an `observe` node —
+        # the ledger is scanned exactly ONCE per epoch (by the merge)
+        parts = sorted(cutoffs)
+        observed, obs = lin.observed_stats(raw, validity_predicate(), parts)
+        valid, _bad = split_valid(observed)
 
         # new offsets: planned cutoffs (deterministic even for
         # batches whose rows were all duplicates/quarantined)
@@ -131,6 +134,9 @@ def run_increment(
 
         epoch = ck["epoch"] + 1
         hook("pre_merge")
+        # summary carries only the fencing essentials (epoch + offsets);
+        # row counts land in the lineage log (they come from the
+        # observation, which fills while the merge executes)
         snapshot_id = merge_apply(
             spark,
             table,
@@ -139,10 +145,9 @@ def run_increment(
             summary={
                 "epoch": epoch,
                 "offsets": {str(k): int(v) for k, v in new_offsets.items()},
-                "rows_in": sum(p["rows"] for p in pstats),
-                "quarantined": n_bad,
             },
         )
+        pstats, n_bad = lin.collect_observed_stats(obs, parts)
         hook("post_snapshot")
         ckpt.save(
             checkpoint_dir,
