@@ -55,7 +55,10 @@ def bench_cdc(spark, n_convs: int) -> dict:
     from stellar_ingest.cdc.runner import run_increment
     from stellar_ingest.gen.changelog import gen_events, keyspace, write_ledger
 
-    work = tempfile.mkdtemp(prefix="stellar_bench_")
+    # scratch on tmpfs: this sandbox's single-queue virtio disk adds
+    # 2-3x run-to-run noise under concurrent writers (BENCH/BASELINE.md)
+    scratch_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="stellar_bench_", dir=scratch_base)
     try:
         ev = gen_events(spark, n_convs, parts=8, seed=42)
         n_events = ev.count()
@@ -85,7 +88,13 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_convs = int(os.environ.get("STELLAR_BENCH_CONVS", "120000"))
-    spark = get_spark("stellar-bench", cores=cpus, shuffle_partitions=8 * cpus)
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/stellar_bench_local", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/stellar_bench_local"
+    spark = get_spark(
+        "stellar-bench", cores=cpus, shuffle_partitions=8 * cpus, extra_conf=extra
+    )
 
     queries = bench_queries(spark, sf_dir)
     cdc = bench_cdc(spark, n_convs)
@@ -101,6 +110,7 @@ def main():
         **cdc,
     }
     print(json.dumps(result))
+    shutil.rmtree("/dev/shm/stellar_bench_local", ignore_errors=True)
 
 
 if __name__ == "__main__":
