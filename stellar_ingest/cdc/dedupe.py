@@ -9,18 +9,18 @@ the source = two filters:
    per-partition OR-chain, so it pushes down to parquet footers (ledger
    segments are lsn-sorted → already-consumed segments are skipped
    without reading a row).
-2. **in-batch dedupe** — ``dropDuplicates(["src_part","lsn"])``.  Safe
-   because (src_part, lsn) identifies one logical mutation; duplicate
-   deliveries carry identical payloads.
+2. **in-batch dedupe** — absorbed by the MERGE's LWW window
+   (lake/merge.py:13-17): duplicate (src_part, lsn) deliveries carry
+   identical payloads, so whichever copy the total ordering
+   (ts, lsn, src_part) ranks first IS the same row — no separate
+   dropDuplicates shuffle on the hot path.
 
 Scale: the HWM map is O(source partitions) — driver-side literals, no
-join, no shuffle.  dropDuplicates shuffles on (src_part, lsn), a
-uniformly distributed key (no skew by construction).
+join, no shuffle, pushes to parquet footer stats.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,20 +37,3 @@ def hwm_predicate(offsets: dict[int, int]):
     return pred | ~known
 
 
-def dedupe(df: DataFrame, offsets: dict[int, int] | None = None) -> DataFrame:
-    """HWM filter + (src_part, lsn) duplicate drop."""
-    out = df
-    if offsets:
-        out = out.filter(hwm_predicate(offsets))
-    return out.dropDuplicates(["src_part", "lsn"])
-
-
-def new_offsets(df: DataFrame, offsets: dict[int, int] | None = None) -> dict[int, int]:
-    """Post-batch high-watermarks: max(lsn) per src_part merged over the
-    prior offsets.  One tiny agg (partial map-side combine, ≤P rows out)."""
-    rows = df.groupBy("src_part").agg(F.max("lsn").alias("hwm")).collect()
-    merged = dict(offsets or {})
-    for r in rows:
-        p = int(r["src_part"])
-        merged[p] = max(int(r["hwm"]), merged.get(p, -1))
-    return merged

@@ -19,29 +19,6 @@ from pyspark.sql import functions as F
 LINEAGE_FILE = "lineage.jsonl"
 
 
-def batch_partition_stats(batch: DataFrame) -> list[dict]:
-    """(src_part, lsn_from, lsn_to, rows) for a bounded batch — one tiny
-    map-side-combined agg, ≤P rows to the driver."""
-    rows = (
-        batch.groupBy("src_part")
-        .agg(
-            F.min("lsn").alias("lsn_from"),
-            F.max("lsn").alias("lsn_to"),
-            F.count(F.lit(1)).alias("rows"),
-        )
-        .collect()
-    )
-    return [
-        {
-            "src_part": int(r["src_part"]),
-            "lsn_from": int(r["lsn_from"]),
-            "lsn_to": int(r["lsn_to"]),
-            "rows": int(r["rows"]),
-        }
-        for r in sorted(rows, key=lambda r: r["src_part"])
-    ]
-
-
 def observed_stats(raw: DataFrame, valid_pred, parts: list[int]):
     """Zero-extra-pass lineage: attach an ``observe`` node computing
     per-partition (lsn_from, lsn_to, rows) for valid rows + the
@@ -80,31 +57,6 @@ def collect_observed_stats(obs, parts: list[int]) -> tuple[list[dict], int]:
     return stats, int(got["quarantined"])
 
 
-def batch_stats_with_quarantine(raw: DataFrame, valid_pred) -> tuple[list[dict], int]:
-    """Fused stats pass: per-partition lineage of VALID rows + the
-    quarantine count, in ONE traversal of the (cached) batch instead of
-    two (count + groupBy) — the per-epoch fixed cost matters for
-    micro-batch throughput."""
-    flagged = raw.groupBy("src_part", valid_pred.alias("__ok")).agg(
-        F.min("lsn").alias("lsn_from"),
-        F.max("lsn").alias("lsn_to"),
-        F.count(F.lit(1)).alias("rows"),
-    )
-    stats: dict[int, dict] = {}
-    quarantined = 0
-    for r in flagged.collect():
-        if r["__ok"]:
-            stats[int(r["src_part"])] = {
-                "src_part": int(r["src_part"]),
-                "lsn_from": int(r["lsn_from"]),
-                "lsn_to": int(r["lsn_to"]),
-                "rows": int(r["rows"]),
-            }
-        else:
-            quarantined += int(r["rows"])
-    return [stats[k] for k in sorted(stats)], quarantined
-
-
 def emit(
     checkpoint_dir: str,
     *,
@@ -113,10 +65,17 @@ def emit(
     partition_stats: list[dict],
     wall_ms: float,
     quarantined: int = 0,
+    repaired: bool = False,
 ) -> list[dict]:
-    """Append one lineage record per (epoch, src_part) + return them."""
+    """Append one lineage record per (epoch, src_part) + return them.
+
+    Idempotent per epoch: the runner emits BEFORE the checkpoint save, so
+    a crash in between replays the emit on restart — records for an epoch
+    already present in the file are skipped, never duplicated.  The same
+    property lets the fence repair re-emit a torn epoch's lineage from
+    the snapshot summary (``repaired=True``, no wall-clock available)."""
     total = sum(p["rows"] for p in partition_stats)
-    eps = (total / (wall_ms / 1000.0)) if wall_ms > 0 else float("inf")
+    eps = (total / (wall_ms / 1000.0)) if wall_ms > 0 else 0.0
     records = [
         {
             "epoch": epoch,
@@ -128,9 +87,12 @@ def emit(
             "wall_ms": round(wall_ms, 3),
             "events_per_sec": round(eps, 3),
             "quarantined": quarantined,
+            "repaired": repaired,
         }
         for p in partition_stats
     ]
+    if any(r["epoch"] == epoch for r in read_lineage(checkpoint_dir)):
+        return records
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, LINEAGE_FILE)
     with open(path, "a") as fh:

@@ -18,10 +18,13 @@ Exactly-once protocol per epoch ``e → e+1``:
    MERGE window, see lake/merge.py).
 4. additive schema evolution committed BEFORE the data write
    (BASELINE.json:6 ordering requirement).
-5. MERGE apply → snapshot ``s`` with summary {epoch: e+1, offsets'}.
-6. checkpoint := {e+1, offsets', s}.   (crash between 5 and 6 is what
-   step 1 repairs)
-7. emit lineage.
+5. MERGE apply → snapshot ``s`` with summary {epoch: e+1, offsets',
+   lineage stats} (stats observed during the merge, bound into the
+   same atomic commit).
+6. persist quarantined rows (dead-letter parquet) + emit lineage.
+7. checkpoint := {e+1, offsets', s}.   (crash between 5 and 7 is what
+   step 1 repairs — offsets from the summary, lineage re-emitted from
+   the summary's stats)
 
 ``crash_hook(point)`` is a test seam — tests/test_replay.py injects
 crashes at every boundary and asserts byte-identical reconvergence.
@@ -29,6 +32,7 @@ crashes at every boundary and asserts byte-identical reconvergence.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
 
@@ -59,6 +63,21 @@ def _fence_and_repair(table: IceboxTable, checkpoint_dir: str, ck: dict) -> dict
             "snapshot_id": snap["snapshot_id"],
         }
         ckpt.save(checkpoint_dir, ck)
+        # the crash fell between snapshot-commit and checkpoint-write:
+        # re-emit the torn epoch's lineage from the stats the commit
+        # carried (lin.emit is idempotent per epoch, so if the crash fell
+        # after the emit instead this is a no-op)
+        linfo = summary.get("lineage")
+        if linfo is not None:
+            lin.emit(
+                checkpoint_dir,
+                epoch=snap_epoch,
+                snapshot_id=snap["snapshot_id"],
+                partition_stats=linfo["partition_stats"],
+                wall_ms=0.0,
+                quarantined=int(linfo.get("quarantined", 0)),
+                repaired=True,
+            )
     return ck
 
 
@@ -104,7 +123,10 @@ def run_increment(
         # the ledger is scanned exactly ONCE per epoch (by the merge)
         parts = sorted(cutoffs)
         observed, obs = lin.observed_stats(raw, validity_predicate(), parts)
-        valid, _bad = split_valid(observed)
+        valid, _ = split_valid(observed)
+        # dead-letter branch comes off `raw` (not `observed`) so writing
+        # it doesn't re-trigger the observation
+        bad = raw.filter(~validity_predicate())
 
         # new offsets: planned cutoffs (deterministic even for
         # batches whose rows were all duplicates/quarantined)
@@ -134,9 +156,20 @@ def run_increment(
 
         epoch = ck["epoch"] + 1
         hook("pre_merge")
-        # summary carries only the fencing essentials (epoch + offsets);
-        # row counts land in the lineage log (they come from the
-        # observation, which fills while the merge executes)
+        # the snapshot summary carries the fencing essentials (epoch +
+        # offsets) PLUS the observed lineage stats (bound in by
+        # summary_fn after the write action fills the observation) — a
+        # crash between snapshot-commit and lineage-emit is repairable
+        # from the snapshot alone (_fence_and_repair re-emits)
+        stash: dict = {}
+
+        def _lineage_summary() -> dict:
+            pstats, n_bad = lin.collect_observed_stats(obs, parts)
+            stash["pstats"], stash["n_bad"] = pstats, n_bad
+            return {
+                "lineage": {"partition_stats": pstats, "quarantined": n_bad}
+            }
+
         snapshot_id = merge_apply(
             spark,
             table,
@@ -146,24 +179,36 @@ def run_increment(
                 "epoch": epoch,
                 "offsets": {str(k): int(v) for k, v in new_offsets.items()},
             },
+            summary_fn=_lineage_summary,
         )
-        pstats, n_bad = lin.collect_observed_stats(obs, parts)
         hook("post_snapshot")
+        # dead-letter sink: quarantined rows are persisted, never silently
+        # dropped (validate.py contract).  Costs a second ledger scan only
+        # on epochs that actually had bad rows; overwrite mode keeps
+        # crash-replays idempotent.  (Narrow caveat: a crash inside the
+        # snapshot→checkpoint window loses this epoch's dead-letter ROWS —
+        # the fence-repaired lineage still records their count.)
+        if stash["n_bad"]:
+            bad.write.mode("overwrite").parquet(
+                os.path.join(checkpoint_dir, "quarantine", f"epoch={epoch}")
+            )
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        # lineage BEFORE the checkpoint save: a crash in between replays
+        # the emit on restart (idempotent per epoch), so the audit log
+        # can never have a gap
+        all_records += lin.emit(
+            checkpoint_dir,
+            epoch=epoch,
+            snapshot_id=snapshot_id,
+            partition_stats=stash["pstats"],
+            wall_ms=wall_ms,
+            quarantined=stash["n_bad"],
+        )
         ckpt.save(
             checkpoint_dir,
             {"epoch": epoch, "offsets": new_offsets, "snapshot_id": snapshot_id},
         )
         hook("post_checkpoint")
-
-        wall_ms = (time.monotonic() - t0) * 1000.0
-        all_records += lin.emit(
-            checkpoint_dir,
-            epoch=epoch,
-            snapshot_id=snapshot_id,
-            partition_stats=pstats,
-            wall_ms=wall_ms,
-            quarantined=n_bad,
-        )
         epochs_done += 1
 
     return all_records

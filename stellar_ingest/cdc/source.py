@@ -47,7 +47,8 @@ class Segment:
     arrow_schema: pa.Schema
 
 
-def _lsn_range(md, schema) -> tuple[int, int]:
+def _lsn_range(pf: pq.ParquetFile) -> tuple[int, int]:
+    md, schema = pf.metadata, pf.schema_arrow
     idx = schema.names.index("lsn")
     lo, hi = None, None
     for i in range(md.num_row_groups):
@@ -56,6 +57,15 @@ def _lsn_range(md, schema) -> tuple[int, int]:
             continue
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        # segment written without column statistics: the footer fast-path
+        # is unavailable — fall back to reading just the lsn column
+        # (column-pruned, one column of one file; rare by construction)
+        col = pf.read(columns=["lsn"]).column("lsn")
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(col).as_py()
+        lo, hi = mm["min"], mm["max"]
     return int(lo), int(hi)
 
 
@@ -77,7 +87,7 @@ def list_segments(ledger_dir: str) -> list[Segment]:
                 pf = pq.ParquetFile(full)
                 if pf.metadata.num_rows == 0:
                     continue
-                lo, hi = _lsn_range(pf.metadata, pf.schema_arrow)
+                lo, hi = _lsn_range(pf)
                 out.append(
                     Segment(
                         path=full,

@@ -35,7 +35,10 @@ def validity_predicate():
         list(VALID_ROLES)
     )
     text_ok = (F.col("op") == "D") | F.col("text").isNotNull()
-    return key_ok & env_ok & role_ok & text_ok
+    # null-safe: a NULL op makes isin() evaluate to SQL NULL, which both
+    # filter(pred) and filter(~pred) would drop — coalesce to False so
+    # such rows land in (and are counted by) the quarantine branch
+    return F.coalesce(key_ok & env_ok & role_ok & text_ok, F.lit(False))
 
 
 def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:

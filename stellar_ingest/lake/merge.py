@@ -65,9 +65,16 @@ def merge_apply(
     *,
     salts: int | None = None,
     summary: dict | None = None,
+    summary_fn=None,
 ) -> int:
     """Apply one changelog batch (validated + HWM-filtered) as a
-    copy-on-write MERGE; returns the committed snapshot id."""
+    copy-on-write MERGE; returns the committed snapshot id.
+
+    ``summary_fn``: optional callable evaluated AFTER the batch's action
+    ran but BEFORE the commit; its dict is merged into the snapshot
+    summary.  The runner uses it to bind the epoch's observed lineage
+    stats into the same atomic commit (so a torn commit can re-emit
+    lineage from the snapshot alone)."""
     meta = table.metadata()
     bcol, nbuckets = meta["bucket_column"], meta["num_buckets"]
     bexpr = bucket_expr(bcol, nbuckets)
@@ -82,9 +89,12 @@ def merge_apply(
             r[0] for r in batch.select(bexpr.alias("__b")).distinct().collect()
         )
         if not touched:
-            return table.commit(
-                added_files=[], summary=summary or {}, operation="merge"
-            )
+            # the distinct() above was this batch's action — observations
+            # attached upstream are filled, so summary_fn is safe to call
+            summary = dict(summary or {})
+            if summary_fn is not None:
+                summary.update(summary_fn())
+            return table.commit(added_files=[], summary=summary, operation="merge")
 
     existing = scan(spark, table, buckets=touched or [])
     table_struct = fields_to_struct(table.schema_fields())
@@ -102,9 +112,12 @@ def merge_apply(
     )
     new_files = write_data_files(ordered.withColumn("__bucket", bexpr), table)
     removed = {e["path"] for e in table.files(buckets=touched)}
+    summary = dict(summary or {})
+    if summary_fn is not None:
+        summary.update(summary_fn())
     return table.commit(
         added_files=new_files,
         removed_paths=removed,
-        summary=summary or {},
+        summary=summary,
         operation="merge",
     )

@@ -26,16 +26,33 @@ def asof_join(
     fact_ts: str,
     dim_ts: str,
     dim_cols: list[str],
+    fact_key: str | None = None,
 ) -> DataFrame:
     """Latest dim state at-or-before each fact row's timestamp
-    (SURVEY.md op 23): equi-join on key + ts<= filter + row_number()=1
-    over desc dim ts.  Scale: the shuffle key is `on` — same plan at any
-    cluster size; skewed keys fall to AQE skew-join."""
-    j = fact.join(dim, on=on, how="left").filter(
-        F.col(dim_ts).isNull() | (F.col(dim_ts) <= F.col(fact_ts))
-    )
-    w = Window.partitionBy(*fact.columns).orderBy(F.col(dim_ts).desc())
-    return j.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    (SURVEY.md op 23), the same shape as q_join_asof below: the ts bound
+    lives IN the join condition (a post-join filter would silently drop
+    fact rows whose only dim versions are later-dated — the left join
+    matched, so no null-extended row survives the filter), then
+    row_number()=1 over desc dim ts keeps the latest match per fact row.
+    ``fact_key``: a unique fact row id for the window partition; if
+    absent one is synthesized (monotonically_increasing_id), so exact
+    duplicate fact rows keep their multiplicity.  Scale: the shuffle key
+    is ``on`` — same plan at any cluster size; skewed keys fall to AQE
+    skew-join."""
+    fid = fact_key or "__fid"
+    f = fact if fact_key else fact.withColumn(fid, F.monotonically_increasing_id())
+    d = dim.select(on, dim_ts, *[c for c in dim_cols if c not in (on, dim_ts)])
+    d = d.toDF(*[c if c == on else f"__dim_{c}" for c in d.columns])
+    j = f.join(
+        d,
+        (f[on] == d[on]) & (F.col(f"__dim_{dim_ts}") <= f[fact_ts]),
+        "left",
+    ).drop(d[on])
+    w = Window.partitionBy(fid).orderBy(F.col(f"__dim_{dim_ts}").desc_nulls_last())
+    out = j.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    renames = {f"__dim_{c}": c for c in dim_cols if c != on}
+    out = out.drop("__rn").withColumnsRenamed(renames)
+    return out if fact_key else out.drop("__fid")
 
 
 # -- oracle-paired queries ---------------------------------------------------

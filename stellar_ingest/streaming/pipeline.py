@@ -20,17 +20,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cdc.source import batch_schema, list_segments
 from ..cdc.validate import split_valid
 from ..lake.core import IceboxTable
 from ..lake.merge import merge_apply
 from ..schema import CHANGELOG_SCHEMA, table_schema_for
 
 
+def ledger_stream_schema(ledger_dir: str):
+    """Union footer schema over ALL current ledger segments — evolved
+    columns (e.g. ``tool_version``) are part of the stream schema, files
+    that predate them read back NULL (additive semantics, same rule as
+    the batch runner's per-epoch union).  A long-running stream picks up
+    columns added after start on restart — the standard Structured
+    Streaming contract for file sources (schema is fixed per query)."""
+    segs = list_segments(ledger_dir)
+    return batch_schema(segs) if segs else CHANGELOG_SCHEMA
+
+
 def read_changelog_stream(
     spark: SparkSession, ledger_dir: str, *, schema=None
 ) -> DataFrame:
     """File-source stream over ledger segments (op 3, streaming form)."""
-    schema = schema or CHANGELOG_SCHEMA
+    schema = schema or ledger_stream_schema(ledger_dir)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
@@ -76,6 +88,22 @@ def run_streaming(
                 num_buckets=num_buckets,
             )
             table = IceboxTable(table_root)
+        else:
+            # additive evolution, same rule as the batch runner: columns
+            # the stream carries but the table lacks are committed
+            # (metadata-only) before the data write
+            from pyspark.sql import types as T
+
+            known = {f["name"] for f in table.schema_fields()}
+            new_cols = T.StructType(
+                [
+                    f
+                    for f in table_schema_for(valid.schema).fields
+                    if f.name not in known
+                ]
+            )
+            if len(new_cols.fields) > 0:
+                table.evolve_schema(new_cols)
         snap = table.current_snapshot()
         epoch = int(snap["summary"].get("epoch", 0)) if snap else 0
         if snap and int(snap["summary"].get("ss_batch_id", -1)) >= batch_id:

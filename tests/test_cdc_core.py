@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from stellar_ingest.cdc.dedupe import dedupe, new_offsets
+from stellar_ingest.cdc.dedupe import hwm_predicate
 from stellar_ingest.cdc.resolve import lww_winners, resolve
 from stellar_ingest.cdc.validate import split_valid
 from stellar_ingest.verify.diff import states_equal
@@ -13,7 +13,7 @@ from stellar_ingest.verify.diff import states_equal
 from .helpers import make_changelog
 
 
-def test_dedupe_hwm_and_duplicates(spark):
+def test_hwm_filter_and_merge_window_absorbs_duplicates(spark):
     df = make_changelog(
         spark,
         [
@@ -23,11 +23,17 @@ def test_dedupe_hwm_and_duplicates(spark):
             (1, 1, "I", "c2", 0, "user", "c", None, 3),
         ],
     )
-    out = dedupe(df, offsets={0: 1})  # part 0 consumed through lsn 1
-    rows = {(r["src_part"], r["lsn"]) for r in out.collect()}
-    assert rows == {(0, 2), (1, 1)}
-    offs = new_offsets(out, {0: 1})
-    assert offs == {0: 2, 1: 1}
+    # HWM: part 0 consumed through lsn 1; unknown part 1 passes whole
+    fresh = df.filter(hwm_predicate({0: 1}))
+    rows = [(r["src_part"], r["lsn"]) for r in fresh.collect()]
+    assert sorted(rows) == [(0, 2), (0, 2), (1, 1)]
+    # in-batch dedupe is absorbed by the LWW window: the duplicate
+    # (src_part=0, lsn=2) deliveries resolve to ONE winner row
+    winners = resolve(fresh).collect()
+    assert {(r["conv_id"], r["turn_idx"], r["text"]) for r in winners} == {
+        ("c1", 0, "b"),
+        ("c2", 0, "c"),
+    }
 
 
 def test_lww_orders_by_ts_then_lsn(spark):
@@ -91,3 +97,60 @@ def test_validate_quarantines_bad_rows(spark):
     valid, bad = split_valid(df)
     assert {r["lsn"] for r in valid.collect()} == {1, 5}
     assert {r["lsn"] for r in bad.collect()} == {2, 3, 4}
+
+
+def test_validate_null_op_is_quarantined_not_vanished(spark):
+    """A NULL op must land in the quarantine branch, not evaluate the
+    predicate to SQL NULL and vanish from BOTH branches uncounted."""
+    rows = [
+        (1, 0, "I", "c1", 0, "user", "ok", None, 1),
+        (2, 0, None, "c1", 1, "user", "null-op", None, 1),
+        (3, 0, "U", "c1", None, "user", "null-turn", None, 1),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], __import__("tests.helpers", fromlist=["ts"]).ts(r[8])) for r in rows],
+        "lsn long, src_part int, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    valid, bad = split_valid(df)
+    assert {r["lsn"] for r in valid.collect()} == {1}
+    assert {r["lsn"] for r in bad.collect()} == {2, 3}  # nothing vanishes
+
+
+def test_runner_dead_letters_quarantined_rows(spark, tmp_path):
+    """Quarantined rows are persisted to a dead-letter sink (never
+    silently dropped) and counted in lineage; valid rows still apply."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_ingest.cdc.lineage import read_lineage
+    from stellar_ingest.cdc.runner import run_increment
+    from stellar_ingest.lake.core import IceboxTable
+    from stellar_ingest.lake.read import read_live
+
+    from .helpers import ts as _ts
+
+    seg = tmp_path / "ledger" / "part=0" / "seg=0"
+    seg.mkdir(parents=True)
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+            "src_part": pa.array([0, 0, 0, 0], pa.int32()),
+            "op": ["I", None, "I", "I"],  # lsn 2: NULL op
+            "conv_id": ["c1", "c1", None, "c2"],  # lsn 3: NULL key
+            "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+            "role": ["user", "user", "user", "assistant"],
+            "text": ["ok1", "nullop", "nokey", "ok2"],
+            "ts": pa.array([_ts(1), _ts(2), _ts(3), _ts(4)], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, seg / "seg0.parquet")
+
+    table_root = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    recs = run_increment(spark, str(tmp_path / "ledger"), table_root, ck, salts=None)
+    assert sum(r["quarantined"] for r in recs if r["src_part"] == 0) == 2
+    live = read_live(spark, IceboxTable(table_root))
+    assert {r["text"] for r in live.collect()} == {"ok1", "ok2"}
+    dead = spark.read.parquet(f"{ck}/quarantine/epoch=1")
+    assert {r["lsn"] for r in dead.collect()} == {2, 3}
+    assert all(r["quarantined"] == 2 for r in read_lineage(ck))

@@ -164,6 +164,12 @@ def test_crash_injection_reconverges(spark, ledger, golden, tmp_path, crash_at):
     assert states_equal(
         read_live(spark, t), read_live(spark, IceboxTable(golden["table_root"]))
     )
+    # the audit log survives the crash with NO epoch gap: a torn commit's
+    # lineage is re-emitted from the snapshot summary during fence repair
+    from stellar_ingest.cdc.lineage import read_lineage
+
+    epochs = sorted({r["epoch"] for r in read_lineage(ck)})
+    assert epochs == list(range(1, max(epochs) + 1))
 
 
 def test_salted_run_reconverges(spark, ledger, golden, tmp_path):

@@ -17,11 +17,10 @@ from stellar_ingest.verify.diff import states_equal
 def small_ledger(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("ss")
     ev = gen_events(spark, 16, parts=2, seed=11)
-    # single-era ledger (streaming source uses one fixed schema)
-    write_ledger(
-        ev, str(root / "ledger"), n_convs=16,
-        seg_span=keyspace(16), evo1_lsn=0, evo2_lsn=10**12,
-    )
+    # MULTI-era ledger: the stream schema is the union of the footer
+    # schemas, so evolved columns (tool, tool_version) flow through and
+    # the streaming table must match the batch runner's exactly
+    write_ledger(ev, str(root / "ledger"), n_convs=16, seg_span=keyspace(16) // 2)
     return root
 
 
@@ -36,8 +35,9 @@ def test_streaming_matches_batch(spark, small_ledger):
         salts=None, num_buckets=4,
     )
     ss_live = read_live(spark, IceboxTable(str(root / "t_ss")))
-    b_live = read_live(spark, IceboxTable(str(root / "t_b"))).drop("tool_version")
+    b_live = read_live(spark, IceboxTable(str(root / "t_b")))
     assert ss_live.count() > 0
+    assert sorted(ss_live.columns) == sorted(b_live.columns)  # evolved cols present
     assert states_equal(ss_live.select(*sorted(ss_live.columns)),
                         b_live.select(*sorted(b_live.columns)))
 
