@@ -92,6 +92,7 @@ def run_increment(
     salts: int | str | None = "auto",
     num_buckets: int = 16,
     crash_hook: Callable[[str], None] | None = None,
+    format_version: int = 2,
 ) -> list[dict]:
     """Drain the ledger in micro-batches (availableNow semantics);
     returns the lineage records emitted.  Resumable: state is entirely
@@ -140,7 +141,10 @@ def run_increment(
         )
         if not table.exists():
             IceboxTable.create(
-                table_root, batch_table_schema, num_buckets=num_buckets
+                table_root,
+                batch_table_schema,
+                num_buckets=num_buckets,
+                format_version=format_version,
             )
             table = IceboxTable(table_root)
         else:

@@ -45,7 +45,9 @@ def reassemble_transcripts(live: DataFrame) -> DataFrame:
     )
 
 
-def flagship(spark: SparkSession, n_convs: int = 24) -> DataFrame:
+def flagship(
+    spark: SparkSession, n_convs: int = 24, *, max_segments_per_part: int = 4
+) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stellar_flagship_")
     ledger = f"{work}/ledger"
     ev = gen_events(spark, n_convs, parts=2, seed=42)
@@ -55,7 +57,7 @@ def flagship(spark: SparkSession, n_convs: int = 24) -> DataFrame:
         ledger,
         f"{work}/table",
         f"{work}/checkpoint",
-        max_segments_per_part=4,
+        max_segments_per_part=max_segments_per_part,
         salts=None,
         num_buckets=8,
     )

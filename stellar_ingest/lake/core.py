@@ -15,15 +15,24 @@ Layout::
       metadata/
         version-hint.text            # current metadata version N (atomic swap)
         v{N}.metadata.json           # schemas + snapshot log + current ids
-        snap-{id}.manifest.json      # data-file list for snapshot {id}
+        snap-{id}.manifest-list.json # per-bucket manifest pointers (format v2)
+        snap-{id}-b{b}.manifest.json # data-file list for bucket b (format v2)
+        snap-{id}.manifest.json      # monolithic file list (format v1, legacy)
       data/
         snap-{id}/bucket={b}/*.parquet   # immutable data files, per commit
 
-Scale notes (100 TB / 1000 executors): metadata stays O(files) JSON on
-the driver — at 10^10 events with 256 MB files that is ~4x10^5 file
-entries, well within driver memory; a production version would shard
-manifests per bucket exactly like Iceberg manifest lists.  Data-file
-paths are absolute-relative to table_root so the table relocates.
+Manifests are sharded per bucket (format v2), exactly like Iceberg
+manifest lists: a commit REWRITES only the touched buckets' manifests
+and carries untouched buckets by reference (same manifest file, no
+read), so commit cost and ``files(buckets=...)`` reads are O(touched),
+not O(table).  Format v1 (one JSON per snapshot) remains readable and
+v1 tables keep committing v1 — no migration required.
+
+Scale notes (100 TB / 1000 executors): driver metadata per operation is
+O(touched buckets' files) — at 10^10 events with 256 MB files that is
+~4x10^5 entries table-wide, and a MERGE touching k of B buckets reads
+k/B of them.  Data-file paths are relative to table_root so the table
+relocates.
 """
 
 from __future__ import annotations
@@ -109,6 +118,7 @@ class IceboxTable:
         num_buckets: int = 16,
         bucket_column: str = "conv_id",
         properties: dict | None = None,
+        format_version: int = 2,
     ) -> "IceboxTable":
         t = cls(root)
         if t.exists():
@@ -117,7 +127,7 @@ class IceboxTable:
         os.makedirs(t.data_dir, exist_ok=True)
         fields = struct_to_fields(schema)
         meta = {
-            "format_version": 1,
+            "format_version": int(format_version),
             "table_uuid": uuid.uuid4().hex,
             "location": root,
             "properties": dict(properties or {}),
@@ -177,20 +187,45 @@ class IceboxTable:
         raise KeyError(f"no snapshot {snapshot_id}")
 
     def manifest(self, snapshot_id: int) -> dict:
+        """Monolithic v1 manifest for a snapshot (legacy format only)."""
         p = os.path.join(self.meta_dir, f"snap-{snapshot_id}.manifest.json")
         with open(p) as fh:
             return json.load(fh)
+
+    def manifest_list(self, snapshot_id: int) -> dict | None:
+        """Per-bucket manifest pointers (format v2):
+        ``{bucket: {manifest, files, rows}}`` keyed by str(bucket).
+        Returns None for v1 snapshots."""
+        p = os.path.join(self.meta_dir, f"snap-{snapshot_id}.manifest-list.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)["buckets"]
+
+    def _read_bucket_manifest(self, fname: str) -> list[dict]:
+        with open(os.path.join(self.meta_dir, fname)) as fh:
+            return json.load(fh)["files"]
 
     def files(
         self, snapshot_id: int | None = None, buckets: list[int] | None = None
     ) -> list[dict]:
         """Data-file entries ``{path, bucket, rows}`` for a snapshot,
-        optionally pruned to a bucket subset (metadata-level partition
-        pruning — no file IO)."""
+        optionally pruned to a bucket subset.  On format v2 this reads
+        ONLY the requested buckets' manifests — metadata IO is
+        O(touched), the 100-TB requirement."""
         meta = self.metadata()
         sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
         if sid is None:
             return []
+        ml = self.manifest_list(sid)
+        if ml is not None:
+            bset = None if buckets is None else {int(b) for b in buckets}
+            out: list[dict] = []
+            for b, ref in sorted(ml.items(), key=lambda kv: int(kv[0])):
+                if bset is not None and int(b) not in bset:
+                    continue
+                out += self._read_bucket_manifest(ref["manifest"])
+            return out
         entries = self.manifest(sid)["files"]
         if buckets is not None:
             bset = set(buckets)
@@ -210,13 +245,19 @@ class IceboxTable:
         summary: dict | None = None,
         new_schema_fields: list[dict] | None = None,
         operation: str = "append",
+        touched_buckets: list[int] | None = None,
     ) -> int:
         """Atomically produce the next snapshot.
 
         ``added_files``: ``{path (rel to root), bucket, rows}`` entries.
         ``removed_paths``: rel paths from the current snapshot to drop
-        (copy-on-write replacement).  ``new_schema_fields``: full field
-        list for an evolved schema (additive; ids already assigned).
+        (copy-on-write replacement).  ``touched_buckets``: the buckets
+        the removals live in (callers that pruned by bucket already know
+        this); on format v2 only those buckets' manifests are read and
+        rewritten — everything else carries by reference.  If omitted it
+        is derived from ``added_files`` (plus, when removals exist, a
+        full-bucket fallback).  ``new_schema_fields``: full field list
+        for an evolved schema (additive; ids already assigned).
         Crash-safety: everything is written under non-current names
         first; the single ``os.replace`` of the version hint is the
         commit point.  A crash before it leaves the table at the old
@@ -226,12 +267,24 @@ class IceboxTable:
         version = self._version()
         prev_id = meta["current_snapshot_id"]
         new_id = meta["last_snapshot_id"] + 1
+        removed = removed_paths or set()
 
-        carry = []
-        if prev_id is not None:
-            removed = removed_paths or set()
-            carry = [e for e in self.manifest(prev_id)["files"] if e["path"] not in removed]
-        files = carry + list(added_files)
+        if int(meta.get("format_version", 1)) >= 2:
+            total_files, total_rows = self._write_manifests_v2(
+                new_id, prev_id, added_files, removed, touched_buckets
+            )
+        else:
+            carry = []
+            if prev_id is not None:
+                carry = [
+                    e for e in self.files(prev_id) if e["path"] not in removed
+                ]
+            files = carry + list(added_files)
+            total_files, total_rows = len(files), sum(e["rows"] for e in files)
+            _atomic_write_json(
+                os.path.join(self.meta_dir, f"snap-{new_id}.manifest.json"),
+                {"snapshot_id": new_id, "files": files},
+            )
 
         schema_id = meta["current_schema_id"]
         if new_schema_fields is not None:
@@ -247,13 +300,9 @@ class IceboxTable:
             "operation": operation,
             "timestamp_ms": int(time.time() * 1000),
             "summary": dict(summary or {}),
-            "total_files": len(files),
-            "total_rows": sum(e["rows"] for e in files),
+            "total_files": total_files,
+            "total_rows": total_rows,
         }
-        manifest = {"snapshot_id": new_id, "files": files}
-        _atomic_write_json(
-            os.path.join(self.meta_dir, f"snap-{new_id}.manifest.json"), manifest
-        )
         meta["snapshots"].append(snap)
         meta["current_snapshot_id"] = new_id
         meta["last_snapshot_id"] = new_id
@@ -263,6 +312,66 @@ class IceboxTable:
         # commit point
         _atomic_write_json(self._hint, {"version": version + 1})
         return new_id
+
+    def _write_manifests_v2(
+        self,
+        new_id: int,
+        prev_id: int | None,
+        added_files: list[dict],
+        removed: set[str],
+        touched_buckets: list[int] | None,
+    ) -> tuple[int, int]:
+        """Write per-bucket manifests for the touched buckets + the
+        manifest list; untouched buckets reference their previous
+        manifest files unread.  Returns (total_files, total_rows)."""
+        added_by_bucket: dict[int, list[dict]] = {}
+        for e in added_files:
+            added_by_bucket.setdefault(int(e["bucket"]), []).append(e)
+
+        prev_list: dict[str, dict] = {}
+        if prev_id is not None:
+            prev_list = self.manifest_list(prev_id) or {}
+
+        touched = set(added_by_bucket)
+        if touched_buckets is not None:
+            touched |= {int(b) for b in touched_buckets}
+        elif removed:
+            # caller didn't say where the removals live — inspect all
+            # previous buckets (correct, just not O(touched))
+            touched |= {int(b) for b in prev_list}
+
+        new_list: dict[str, dict] = {
+            b: dict(ref) for b, ref in prev_list.items() if int(b) not in touched
+        }
+        for b in sorted(touched):
+            carried: list[dict] = []
+            prev_ref = prev_list.get(str(b))
+            if prev_ref is not None:
+                carried = [
+                    e
+                    for e in self._read_bucket_manifest(prev_ref["manifest"])
+                    if e["path"] not in removed
+                ]
+            entries = carried + added_by_bucket.get(b, [])
+            if not entries:
+                continue  # bucket emptied: drop it from the list
+            fname = f"snap-{new_id}-b{b}.manifest.json"
+            _atomic_write_json(
+                os.path.join(self.meta_dir, fname),
+                {"snapshot_id": new_id, "bucket": b, "files": entries},
+            )
+            new_list[str(b)] = {
+                "manifest": fname,
+                "files": len(entries),
+                "rows": sum(e["rows"] for e in entries),
+            }
+        _atomic_write_json(
+            os.path.join(self.meta_dir, f"snap-{new_id}.manifest-list.json"),
+            {"snapshot_id": new_id, "buckets": new_list},
+        )
+        total_files = sum(r["files"] for r in new_list.values())
+        total_rows = sum(r["rows"] for r in new_list.values())
+        return total_files, total_rows
 
     def evolve_schema(self, new_fields_spark: T.StructType) -> int:
         """Additive schema evolution (metadata-only commit) — new columns

@@ -120,4 +120,8 @@ def merge_apply(
         removed_paths=removed,
         summary=summary,
         operation="merge",
+        # manifest IO stays O(touched): only these buckets' manifests are
+        # read+rewritten (touched=None ⇒ initial backfill, derived from
+        # the added files)
+        touched_buckets=touched,
     )

@@ -113,4 +113,5 @@ def overwrite_buckets(
         removed_paths=removed,
         summary=summary or {},
         operation="overwrite",
+        touched_buckets=buckets,
     )

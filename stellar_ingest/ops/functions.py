@@ -143,6 +143,23 @@ def q_fn_json(spark, sf):
     )
 
 
+def q_fn_variant(spark, sf):
+    """Variant family (op 53, the VariantType path claimed in SURVEY
+    §1.3): parse_json → VARIANT, typed extraction with try_variant_get,
+    canonical re-serialization with to_json.  Variant keeps the parsed
+    tree in a binary encoding — at 100 TB this beats re-parsing JSON
+    text per access and pushes shredded-field pruning to the scan."""
+    e = tbl(spark, sf, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        F.to_json(v).alias("vjson"),
+    )
+
+
 def q_fn_hash(spark, sf):
     r = tbl(spark, sf, "region")
     return r.select(
@@ -227,6 +244,14 @@ ORACLE = {
                '{"t":"' || event_type || '"}' AS wrapped
         FROM events WHERE event_id < 2000
     """,
+    "fn_variant": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               json_extract_string(props, '$.k') AS k_str,
+               json_extract_string(props, '$.missing') AS missing,
+               json_extract(props, '$')::VARCHAR AS vjson
+        FROM events WHERE event_id < 2000
+    """,
     "fn_hash": """
         SELECT r_regionkey,
                md5(r_name) AS md5_hex,
@@ -244,5 +269,6 @@ QUERIES = {
     "fn_array": q_fn_array,
     "fn_map": q_fn_map,
     "fn_json": q_fn_json,
+    "fn_variant": q_fn_variant,
     "fn_hash": q_fn_hash,
 }

@@ -14,10 +14,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import aggregates, dedup, functions, joins, multimodal, relational, similarity, text, windows
+from .ops import (
+    aggregates,
+    dedup,
+    functions,
+    joins,
+    multimodal,
+    relational,
+    repair,
+    similarity,
+    text,
+    windows,
+)
 from .ops.relational import tbl
 
-_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, multimodal]
+_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, multimodal, repair]
 
 
 def q_approx_count_distinct(spark, sf):
@@ -51,7 +62,10 @@ def q_cdc_transcripts(spark, sf):
     bit-level replay equality is pytest-verified (tests/test_replay.py)."""
     from .flagship import flagship
 
-    return flagship(spark, n_convs=12)
+    # 3 epochs (still genuinely incremental: multi-epoch, crosses both
+    # schema-evolution eras) but bounded ~6 s so the driver's per-key
+    # budget can never time out on it
+    return flagship(spark, n_convs=12, max_segments_per_part=8)
 
 
 _EXTRA_QUERIES = {

@@ -109,6 +109,29 @@ def test_schema_evolution_null_backfill(spark, tmp_table):
     assert row["text"] == "old"
 
 
+def test_sharded_manifests_carry_untouched_buckets_by_reference(spark, tmp_table):
+    """Format v2: a commit rewrites ONLY the touched buckets' manifests;
+    every other bucket's manifest-list entry references the previous
+    snapshot's manifest file verbatim (O(touched) metadata IO)."""
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=8)
+    items = [(f"c{i}", 0, "user", f"t{i}", None, i, i, 0, "U") for i in range(20)]
+    s1 = append(spark, t, _rows(spark, items))
+    ml1 = t.manifest_list(s1)
+    assert ml1 and len(ml1) > 1
+    target = int(sorted(ml1)[0])
+    repl = scan(spark, t, buckets=[target]).withColumn("text", F.lit("rw"))
+    s2 = overwrite_buckets(spark, t, repl, [target])
+    ml2 = t.manifest_list(s2)
+    assert ml2[str(target)]["manifest"] != ml1[str(target)]["manifest"]
+    for b in ml1:
+        if int(b) != target:
+            assert ml2[b]["manifest"] == ml1[b]["manifest"]  # carried by ref
+    # totals stay consistent with a full listing
+    snap = t.snapshot(s2)
+    assert snap["total_rows"] == sum(e["rows"] for e in t.files(s2))
+    assert snap["total_files"] == len(t.files(s2))
+
+
 def test_commit_is_atomic_under_partial_write(spark, tmp_table):
     """A crash before the version-hint swap leaves the old snapshot
     intact (orphan files are invisible)."""

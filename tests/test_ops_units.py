@@ -33,6 +33,39 @@ def test_asof_helper_keeps_fact_with_only_later_dims(spark):
     assert len(got) == 3
 
 
+def test_transcript_repair_groupedmap(spark):
+    """Op 62 (grouped-map applyInPandas): dense re-index + role ffill,
+    independent of input partitioning."""
+    from stellar_ingest.ops.repair import repair_transcripts
+
+    rows = [
+        # conv 1: gappy turn ids (deletes left holes), missing roles
+        (1, 0, "user", 0),
+        (1, 3, None, 1),
+        (1, 7, "assistant", 2),
+        (1, 9, None, 3),
+        # conv 2: leading NULL role falls back to default
+        (2, 5, None, 4),
+        (2, 6, "tool", 5),
+    ]
+    df = spark.createDataFrame(
+        [(c, t, r, ts(s)) for c, t, r, s in rows],
+        "conv_id long, turn_idx long, role string, ts timestamp",
+    ).repartition(4)
+    out = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["orig_turn_idx"])
+        for r in repair_transcripts(df).collect()
+    }
+    assert out == {
+        (1, 0): ("user", 0),
+        (1, 1): ("user", 3),  # ffilled
+        (1, 2): ("assistant", 7),
+        (1, 3): ("assistant", 9),  # ffilled
+        (2, 0): ("user", 5),  # default role
+        (2, 1): ("tool", 6),
+    }
+
+
 def test_asof_helper_preserves_duplicate_fact_rows(spark):
     fact = spark.createDataFrame(
         [("k1", ts(100), "same"), ("k1", ts(100), "same")],

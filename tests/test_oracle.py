@@ -31,7 +31,9 @@ FAMILY_KEYS = [
     "fn_string",
     "fn_datetime",
     "fn_array",
+    "fn_variant",
     "fn_hash",
+    "transcript_repair",
     "text_quality",
     "text_langid",
     "dedup_exact",
