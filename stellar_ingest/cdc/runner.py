@@ -97,123 +97,148 @@ def run_increment(
     """Drain the ledger in micro-batches (availableNow semantics);
     returns the lineage records emitted.  Resumable: state is entirely
     in ``checkpoint_dir`` + the table's snapshot summaries."""
+    from concurrent.futures import ThreadPoolExecutor
+
     hook = crash_hook or (lambda point: None)
     table = IceboxTable(table_root)
     all_records: list[dict] = []
     epochs_done = 0
+    pool = ThreadPoolExecutor(max_workers=1)
+    prefetched = None  # Future[list[Segment]] for the next epoch
 
-    while max_epochs is None or epochs_done < max_epochs:
-        t0 = time.monotonic()
-        ck = ckpt.load(checkpoint_dir)
-        if table.exists():
-            ck = _fence_and_repair(table, checkpoint_dir, ck)
+    try:
+        while max_epochs is None or epochs_done < max_epochs:
+            t0 = time.monotonic()
+            ck = ckpt.load(checkpoint_dir)
+            if table.exists():
+                ck = _fence_and_repair(table, checkpoint_dir, ck)
 
-        segments = list_segments(ledger_dir)
-        chosen, cutoffs = select_batch(
-            segments, ck["offsets"], max_segments_per_part=max_segments_per_part
-        )
-        if not chosen:
-            break
-
-        # no persist: the batch is consumed twice (stats agg + merge) and
-        # re-decoding footer-pruned parquet is cheaper than materializing
-        # the rows into executor memory — and stays true at 100 TB where
-        # caching a batch would evict everything else
-        raw = read_batch(spark, chosen, ck["offsets"], cutoffs)
-        # lineage + quarantine stats ride along as an `observe` node —
-        # the ledger is scanned exactly ONCE per epoch (by the merge)
-        parts = sorted(cutoffs)
-        observed, obs = lin.observed_stats(raw, validity_predicate(), parts)
-        valid, _ = split_valid(observed)
-        # dead-letter branch comes off `raw` (not `observed`) so writing
-        # it doesn't re-trigger the observation
-        bad = raw.filter(~validity_predicate())
-
-        # new offsets: planned cutoffs (deterministic even for
-        # batches whose rows were all duplicates/quarantined)
-        new_offsets = dict(ck["offsets"])
-        for part, hi in cutoffs.items():
-            new_offsets[part] = max(hi, new_offsets.get(part, -1))
-
-        # additive schema evolution BEFORE write (BASELINE.json:6)
-        batch_table_schema = table_schema_for(
-            T.StructType([f for f in valid.schema.fields])
-        )
-        if not table.exists():
-            IceboxTable.create(
-                table_root,
-                batch_table_schema,
-                num_buckets=num_buckets,
-                format_version=format_version,
+            # epoch e+1's ledger discovery overlapped epoch e's merge
+            # (driver-side footer listing costs ~seconds at production
+            # segment counts — hidden entirely behind the write)
+            segments = prefetched.result() if prefetched is not None else list_segments(ledger_dir)
+            prefetched = None
+            chosen, cutoffs = select_batch(
+                segments, ck["offsets"], max_segments_per_part=max_segments_per_part
             )
-            table = IceboxTable(table_root)
-        else:
-            known = {f["name"] for f in table.schema_fields()}
-            new_cols = T.StructType(
-                [f for f in batch_table_schema.fields if f.name not in known]
+            if not chosen:
+                # the listing may have been prefetched before new segments
+                # arrived — confirm emptiness with a fresh listing
+                segments = list_segments(ledger_dir)
+                chosen, cutoffs = select_batch(
+                    segments, ck["offsets"], max_segments_per_part=max_segments_per_part
+                )
+                if not chosen:
+                    break
+
+            # no persist: the batch is consumed twice (stats agg + merge) and
+            # re-decoding footer-pruned parquet is cheaper than materializing
+            # the rows into executor memory — and stays true at 100 TB where
+            # caching a batch would evict everything else
+            raw = read_batch(spark, chosen, ck["offsets"], cutoffs)
+            # lineage + quarantine stats ride along as an `observe` node —
+            # the ledger is scanned exactly ONCE per epoch (by the merge)
+            parts = sorted(cutoffs)
+            observed, obs = lin.observed_stats(raw, validity_predicate(), parts)
+            valid, _ = split_valid(observed)
+            # dead-letter branch comes off `raw` (not `observed`) so writing
+            # it doesn't re-trigger the observation
+            bad = raw.filter(~validity_predicate())
+
+            # new offsets: planned cutoffs (deterministic even for
+            # batches whose rows were all duplicates/quarantined)
+            new_offsets = dict(ck["offsets"])
+            for part, hi in cutoffs.items():
+                new_offsets[part] = max(hi, new_offsets.get(part, -1))
+
+            # additive schema evolution BEFORE write (BASELINE.json:6)
+            batch_table_schema = table_schema_for(
+                T.StructType([f for f in valid.schema.fields])
             )
-            if len(new_cols.fields) > 0:
-                hook("pre_evolve")
-                table.evolve_schema(new_cols)
+            if not table.exists():
+                IceboxTable.create(
+                    table_root,
+                    batch_table_schema,
+                    num_buckets=num_buckets,
+                    format_version=format_version,
+                )
+                table = IceboxTable(table_root)
+            else:
+                known = {f["name"] for f in table.schema_fields()}
+                new_cols = T.StructType(
+                    [f for f in batch_table_schema.fields if f.name not in known]
+                )
+                if len(new_cols.fields) > 0:
+                    hook("pre_evolve")
+                    table.evolve_schema(new_cols)
 
-        batch_salts = plan_salts(valid) if salts == "auto" else salts
+            batch_salts = plan_salts(valid) if salts == "auto" else salts
 
-        epoch = ck["epoch"] + 1
-        hook("pre_merge")
-        # the snapshot summary carries the fencing essentials (epoch +
-        # offsets) PLUS the observed lineage stats (bound in by
-        # summary_fn after the write action fills the observation) — a
-        # crash between snapshot-commit and lineage-emit is repairable
-        # from the snapshot alone (_fence_and_repair re-emits)
-        stash: dict = {}
+            epoch = ck["epoch"] + 1
+            hook("pre_merge")
+            # the snapshot summary carries the fencing essentials (epoch +
+            # offsets) PLUS the observed lineage stats (bound in by
+            # summary_fn after the write action fills the observation) — a
+            # crash between snapshot-commit and lineage-emit is repairable
+            # from the snapshot alone (_fence_and_repair re-emits)
+            stash: dict = {}
 
-        def _lineage_summary() -> dict:
-            pstats, n_bad = lin.collect_observed_stats(obs, parts)
-            stash["pstats"], stash["n_bad"] = pstats, n_bad
-            return {
-                "lineage": {"partition_stats": pstats, "quarantined": n_bad}
-            }
+            def _lineage_summary() -> dict:
+                pstats, n_bad = lin.collect_observed_stats(obs, parts)
+                stash["pstats"], stash["n_bad"] = pstats, n_bad
+                return {
+                    "lineage": {"partition_stats": pstats, "quarantined": n_bad}
+                }
 
-        snapshot_id = merge_apply(
-            spark,
-            table,
-            valid,
-            salts=batch_salts,
-            summary={
-                "epoch": epoch,
-                "offsets": {str(k): int(v) for k, v in new_offsets.items()},
-            },
-            summary_fn=_lineage_summary,
-        )
-        hook("post_snapshot")
-        # dead-letter sink: quarantined rows are persisted, never silently
-        # dropped (validate.py contract).  Costs a second ledger scan only
-        # on epochs that actually had bad rows; overwrite mode keeps
-        # crash-replays idempotent.  (Narrow caveat: a crash inside the
-        # snapshot→checkpoint window loses this epoch's dead-letter ROWS —
-        # the fence-repaired lineage still records their count.)
-        if stash["n_bad"]:
-            bad.write.mode("overwrite").parquet(
-                os.path.join(checkpoint_dir, "quarantine", f"epoch={epoch}")
+            # overlap: discover epoch e+1's segments while this epoch's
+            # merge/write executes (footer reads release the GIL).
+            # STELLAR_NO_PREFETCH=1 disables (A/B measurement seam).
+            if os.environ.get("STELLAR_NO_PREFETCH") != "1" and (
+                max_epochs is None or epochs_done + 1 < max_epochs
+            ):
+                prefetched = pool.submit(list_segments, ledger_dir)
+            snapshot_id = merge_apply(
+                spark,
+                table,
+                valid,
+                salts=batch_salts,
+                summary={
+                    "epoch": epoch,
+                    "offsets": {str(k): int(v) for k, v in new_offsets.items()},
+                },
+                summary_fn=_lineage_summary,
             )
-        wall_ms = (time.monotonic() - t0) * 1000.0
-        # lineage BEFORE the checkpoint save: a crash in between replays
-        # the emit on restart (idempotent per epoch), so the audit log
-        # can never have a gap
-        all_records += lin.emit(
-            checkpoint_dir,
-            epoch=epoch,
-            snapshot_id=snapshot_id,
-            partition_stats=stash["pstats"],
-            wall_ms=wall_ms,
-            quarantined=stash["n_bad"],
-        )
-        ckpt.save(
-            checkpoint_dir,
-            {"epoch": epoch, "offsets": new_offsets, "snapshot_id": snapshot_id},
-        )
-        hook("post_checkpoint")
-        epochs_done += 1
+            hook("post_snapshot")
+            # dead-letter sink: quarantined rows are persisted, never silently
+            # dropped (validate.py contract).  Costs a second ledger scan only
+            # on epochs that actually had bad rows; overwrite mode keeps
+            # crash-replays idempotent.  (Narrow caveat: a crash inside the
+            # snapshot→checkpoint window loses this epoch's dead-letter ROWS —
+            # the fence-repaired lineage still records their count.)
+            if stash["n_bad"]:
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(checkpoint_dir, "quarantine", f"epoch={epoch}")
+                )
+            wall_ms = (time.monotonic() - t0) * 1000.0
+            # lineage BEFORE the checkpoint save: a crash in between replays
+            # the emit on restart (idempotent per epoch), so the audit log
+            # can never have a gap
+            all_records += lin.emit(
+                checkpoint_dir,
+                epoch=epoch,
+                snapshot_id=snapshot_id,
+                partition_stats=stash["pstats"],
+                wall_ms=wall_ms,
+                quarantined=stash["n_bad"],
+            )
+            ckpt.save(
+                checkpoint_dir,
+                {"epoch": epoch, "offsets": new_offsets, "snapshot_id": snapshot_id},
+            )
+            hook("post_checkpoint")
+            epochs_done += 1
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
 
     return all_records
 

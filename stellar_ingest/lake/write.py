@@ -24,8 +24,20 @@ from pyspark.sql import functions as F
 from .core import IceboxTable
 
 #: write-side salt fan-out within a bucket (files per bucket per commit
-#: is bounded by this x tasks actually holding the bucket).
-WRITE_SALT = 8
+#: is bounded by this x tasks actually holding the bucket).  Adaptive by
+#: default — measured round 2: 32 threads x (32 buckets x salt 8) keys
+#: melts this host's memory bandwidth (124 s vs 40 s for the same 32M
+#: events), while a 1000-executor cluster NEEDS salt to split a hot
+#: bucket across machines.  Target ≈ one write task per core:
+#: salt = clamp(cores / buckets, 1, 8).  Env override for A/B runs.
+
+
+def write_salt(df, num_buckets: int) -> int:
+    env = os.environ.get("STELLAR_WRITE_SALT")
+    if env:
+        return int(env)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(8, cores // max(num_buckets, 1)))
 
 
 def bucket_expr(col: str, num_buckets: int):
@@ -47,7 +59,10 @@ def write_data_files(
     ``{path, bucket, rows}``.  This is an action (the one big job)."""
     tag = f"snap-pending-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table.data_dir, tag)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]), F.lit(WRITE_SALT))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in sort_cols]),
+        F.lit(write_salt(df, table.num_buckets)),
+    )
     # no explicit partition count: AQE coalesces the repartition to the
     # batch's actual size, so small batches don't fragment into hundreds
     # of tiny files while big batches still fan out

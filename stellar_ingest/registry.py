@@ -24,11 +24,12 @@ from .ops import (
     repair,
     similarity,
     text,
+    udx,
     windows,
 )
 from .ops.relational import tbl
 
-_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, multimodal, repair]
+_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, multimodal, repair, udx]
 
 
 def q_approx_count_distinct(spark, sf):

@@ -34,6 +34,9 @@ FAMILY_KEYS = [
     "fn_variant",
     "fn_hash",
     "transcript_repair",
+    "udf_scalar",
+    "udaf_grouped",
+    "udtf_expand",
     "text_quality",
     "text_langid",
     "dedup_exact",
