@@ -1,0 +1,137 @@
+"""Table maintenance: small-file compaction + snapshot expiry — the
+operational pair every copy-on-write ingest table needs at 100 TB
+(Iceberg's ``rewrite_data_files`` / ``expire_snapshots`` analogues).
+
+Compaction is a *logical no-op*: same rows, same replay fingerprint,
+fewer files — only the physical layout and the manifests change.  The
+epoch fence is untouched (the compaction snapshot carries the previous
+summary's epoch/offsets forward, so a CDC restart after compaction
+resumes exactly where it left off).
+
+Scale notes: compaction reads+rewrites ONLY the selected buckets
+(manifest pruning) and commits O(touched) manifests (format v2); at
+1000 executors you compact buckets in batches sized to the cluster.
+Expiry is pure driver-side metadata + file deletion — no Spark job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .core import IceboxTable, _atomic_write_json
+from .read import scan
+from .write import bucket_expr, write_data_files
+
+
+def plan_compaction(
+    table: IceboxTable, *, min_files_per_bucket: int = 2
+) -> list[int]:
+    """Buckets whose current file count warrants a rewrite."""
+    counts: dict[int, int] = {}
+    for e in table.files():
+        counts[e["bucket"]] = counts.get(e["bucket"], 0) + 1
+    return sorted(b for b, n in counts.items() if n >= min_files_per_bucket)
+
+
+def compact(
+    spark: SparkSession,
+    table: IceboxTable,
+    *,
+    buckets: list[int] | None = None,
+    min_files_per_bucket: int = 2,
+) -> int | None:
+    """Rewrite fragmented buckets into one file per bucket; returns the
+    new snapshot id, or None if nothing needed compacting.  The summary
+    carries the parent's epoch/offsets forward so the CDC fence still
+    sees the latest applied epoch."""
+    target = plan_compaction(table, min_files_per_bucket=min_files_per_bucket)
+    if buckets is not None:
+        target = sorted(set(target) & set(buckets))
+    if not target:
+        return None
+    meta = table.metadata()
+    df = scan(spark, table, buckets=target)  # full fidelity: tombstones + meta cols
+    dfb = df.withColumn(
+        "__bucket", bucket_expr(meta["bucket_column"], meta["num_buckets"])
+    )
+    # salt_n=1 → exactly one output file per bucket per task group
+    entries = write_data_files(dfb, table, salt_n=1)
+    removed = {e["path"] for e in table.files(buckets=target)}
+    prev = table.current_snapshot()
+    summary = {
+        k: v
+        for k, v in (prev.get("summary", {}) if prev else {}).items()
+        if k in ("epoch", "offsets", "ss_batch_id")
+    }
+    summary["maintenance"] = "compact"
+    summary["compacted_buckets"] = target
+    return table.commit(
+        added_files=entries,
+        removed_paths=removed,
+        summary=summary,
+        operation="replace",
+        touched_buckets=target,
+    )
+
+
+def expire_snapshots(table: IceboxTable, *, keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots: delete their
+    data files (unless still referenced by a kept snapshot) and their
+    manifests (unless shared by reference — format v2 carries untouched
+    buckets' manifests across snapshots).  Time travel remains valid
+    within the retention window; the current snapshot is always kept.
+
+    Driver-side only; returns {snapshots_expired, data_files_deleted,
+    manifests_deleted}."""
+    meta = table.metadata()
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return {"snapshots_expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    assert kept[-1]["snapshot_id"] == meta["current_snapshot_id"]
+
+    def _manifest_names(sid: int) -> set[str]:
+        ml = table.manifest_list(sid)
+        if ml is not None:
+            return {ref["manifest"] for ref in ml.values()}
+        p = f"snap-{sid}.manifest.json"
+        return {p} if os.path.exists(os.path.join(table.meta_dir, p)) else set()
+
+    kept_ids = [s["snapshot_id"] for s in kept]
+    live_paths: set[str] = set()
+    live_manifests: set[str] = set()
+    for sid in kept_ids:
+        live_paths |= {e["path"] for e in table.files(sid)}
+        live_manifests |= _manifest_names(sid)
+
+    n_data = n_manifest = 0
+    for s in expired:
+        sid = s["snapshot_id"]
+        for e in table.files(sid):
+            if e["path"] not in live_paths:
+                full = os.path.join(table.root, e["path"])
+                if os.path.exists(full):
+                    os.remove(full)
+                    n_data += 1
+        for name in _manifest_names(sid) - live_manifests:
+            full = os.path.join(table.meta_dir, name)
+            if os.path.exists(full):
+                os.remove(full)
+                n_manifest += 1
+        ml_path = os.path.join(table.meta_dir, f"snap-{sid}.manifest-list.json")
+        if os.path.exists(ml_path):
+            os.remove(ml_path)
+
+    version = table._version()
+    meta["snapshots"] = kept
+    _atomic_write_json(
+        os.path.join(table.meta_dir, f"v{version + 1}.metadata.json"), meta
+    )
+    _atomic_write_json(table._hint, {"version": version + 1})
+    return {
+        "snapshots_expired": len(expired),
+        "data_files_deleted": n_data,
+        "manifests_deleted": n_manifest,
+    }

@@ -50,6 +50,39 @@ def scan(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def read_changes(
+    spark: SparkSession,
+    table: IceboxTable,
+    since_snapshot_id: int,
+    *,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental consumer read (net-effect CDC between snapshots):
+    every key whose CURRENT state was written after ``since_snapshot_id``
+    — upserts as live rows, deletes as ``_op='D'`` tombstone rows, meta
+    columns retained so consumers can order/dedupe downstream.
+
+    Implementation: each CDC snapshot summary checkpoints per-source
+    high-watermarks; stored rows carry their winning (_src_part, _lsn).
+    The diff is ONE pushdown-friendly filter ``_lsn > hwm[_src_part]``
+    over the newer snapshot — no join, no second snapshot scan, and
+    compaction rewrites (same rows, same _lsn) never produce phantom
+    changes.  Net-effect semantics: a key mutated twice since the base
+    snapshot appears once, with its latest state — the right contract
+    for downstream table sync (replaying the ledger gives the full
+    event history if needed)."""
+    base = table.snapshot(since_snapshot_id)["summary"].get("offsets", {})
+    df = scan(spark, table, snapshot_id=snapshot_id)
+    if not base:
+        return df
+    pred = None
+    for part, hwm in sorted(base.items()):
+        clause = (F.col("_src_part") == int(part)) & (F.col("_lsn") > int(hwm))
+        pred = clause if pred is None else (pred | clause)
+    known = F.col("_src_part").isin([int(p) for p in base])
+    return df.filter(pred | ~known)
+
+
 def read_live(
     spark: SparkSession,
     table: IceboxTable,

@@ -53,6 +53,7 @@ def write_data_files(
     *,
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     shuffle_partitions: int | None = None,
+    salt_n: int | None = None,
 ) -> list[dict]:
     """Materialize ``df`` (must carry a ``__bucket`` int column) as
     immutable parquet under a fresh commit dir; returns manifest entries
@@ -61,7 +62,7 @@ def write_data_files(
     out = os.path.join(table.data_dir, tag)
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in sort_cols]),
-        F.lit(write_salt(df, table.num_buckets)),
+        F.lit(salt_n if salt_n is not None else write_salt(df, table.num_buckets)),
     )
     # no explicit partition count: AQE coalesces the repartition to the
     # batch's actual size, so small batches don't fragment into hundreds

@@ -132,6 +132,40 @@ def test_sharded_manifests_carry_untouched_buckets_by_reference(spark, tmp_table
     assert snap["total_files"] == len(t.files(s2))
 
 
+def test_expire_snapshots_deletes_unreferenced_only(spark, tmp_table):
+    """Expiry removes replaced data files + unshared manifests; files
+    still referenced by kept snapshots (v2 carry-by-reference) survive,
+    and the current snapshot stays fully readable."""
+    import os
+
+    from stellar_ingest.lake.maintain import expire_snapshots
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=4)
+    s1 = append(spark, t, _rows(spark, [("c1", 0, "user", "v1", None, 1, 1, 0, "U")]))
+    nb = t.num_buckets
+    b1 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("c1")), F.lit(nb)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    replaced = {e["path"] for e in t.files(s1, buckets=[b1])}
+    repl = scan(spark, t, buckets=[b1]).withColumn("text", F.lit("v2"))
+    s2 = overwrite_buckets(spark, t, repl, [b1])
+    assert replaced and all(os.path.exists(os.path.join(t.root, p)) for p in replaced)
+
+    out = expire_snapshots(t, keep_last=1)
+    assert out["snapshots_expired"] == 1
+    assert out["data_files_deleted"] == len(replaced)
+    # the replaced file is gone, the current snapshot is intact
+    assert not any(os.path.exists(os.path.join(t.root, p)) for p in replaced)
+    assert [s["snapshot_id"] for s in t.snapshots()] == [s2]
+    live = read_live(spark, t).collect()
+    assert {r["text"] for r in live} == {"v2"}
+    # time travel to the expired snapshot is (correctly) no longer possible
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        t.snapshot(s1)
+
+
 def test_commit_is_atomic_under_partial_write(spark, tmp_table):
     """A crash before the version-hint swap leaves the old snapshot
     intact (orphan files are invisible)."""

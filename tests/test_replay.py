@@ -198,6 +198,83 @@ def test_salted_run_reconverges(spark, ledger, golden, tmp_path):
     assert table_fingerprint(scan(spark, IceboxTable(table_root))) == golden["fingerprint"]
 
 
+def test_compaction_is_logical_noop_and_fence_safe(spark, ledger, golden, tmp_path):
+    """Mid-stream small-file compaction: same rows (fingerprint-equal
+    live view), fewer files, and the CDC runner resumes cleanly after it
+    (the compaction snapshot carries epoch/offsets forward)."""
+    from stellar_ingest.lake.maintain import compact
+
+    import os
+
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    # fragment the write fan-out so there is something to compact (the
+    # adaptive default + AQE coalescing already write one file per
+    # bucket on these tiny batches)
+    os.environ["STELLAR_WRITE_SALT"] = "4"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        run_increment(
+            spark, ledger["dir"], table_root, ck,
+            max_segments_per_part=4, max_epochs=3, salts=None,
+        )
+    finally:
+        os.environ.pop("STELLAR_WRITE_SALT", None)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    t = IceboxTable(table_root)
+    files_before = len(t.files())
+    fp_before = table_fingerprint(scan(spark, t))
+    epoch_before = int(t.current_snapshot()["summary"]["epoch"])
+    sid = compact(spark, t)
+    assert sid is not None
+    assert len(t.files()) < files_before
+    assert table_fingerprint(scan(spark, t)) == fp_before  # logical no-op
+    assert int(t.current_snapshot()["summary"]["epoch"]) == epoch_before
+    # resume ingest across the compaction snapshot → still reaches golden
+    run_increment(spark, ledger["dir"], table_root, ck, salts=None)
+    assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
+
+
+def test_read_changes_between_snapshots(spark, ledger, tmp_path):
+    """Incremental consumer read: keys whose state changed after the
+    base snapshot — verified against an independent pandas computation
+    of 'winner written after the base high-watermarks'."""
+    from stellar_ingest.lake.read import read_changes
+
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    run_increment(
+        spark, ledger["dir"], table_root, ck,
+        max_segments_per_part=3, max_epochs=2, salts=None,
+    )
+    t = IceboxTable(table_root)
+    s_base = t.metadata()["current_snapshot_id"]
+    base_offsets = {
+        int(k): int(v)
+        for k, v in t.snapshot(s_base)["summary"]["offsets"].items()
+    }
+    run_increment(spark, ledger["dir"], table_root, ck, salts=None)
+
+    got = read_changes(spark, t, s_base)
+    rows = got.select("conv_id", "turn_idx", "_src_part", "_lsn", "_op").collect()
+    for r in rows:  # every returned row really is past the base HWM
+        assert r["_lsn"] > base_offsets.get(r["_src_part"], -1)
+
+    # independent expectation: full-winner (incl. deletes) per key, kept
+    # iff the winner's lsn is beyond the base snapshot's watermarks
+    pdf = ledger["events"].drop_duplicates(subset=["src_part", "lsn"])
+    pdf = pdf.sort_values(["ts", "lsn", "src_part"], kind="mergesort")
+    winners = pdf.groupby(["conv_id", "turn_idx"], as_index=False).tail(1)
+    exp_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in winners.itertuples()
+        if r.lsn > base_offsets.get(r.src_part, -1)
+    }
+    assert {(r["conv_id"], r["turn_idx"]) for r in rows} == exp_keys
+    # tombstones are visible as delete records
+    assert any(r["_op"] == "D" for r in rows)
+
+
 def test_schema_evolution_recorded(spark, golden):
     """Mid-stream additive evolution: later schema versions append
     `tool` / `tool_version` with fresh column ids; early rows backfill
