@@ -15,7 +15,13 @@ Scale notes (100 TB corpus):
 - SimHash emits one 64-bit signature per doc (constant state per doc);
   near-dup candidates come from banding the signature's nibbles;
 - cosine near-dup: brute-force pairing is quadratic — bounded here by
-  doc-id band prefilter; the scale path is ops/similarity.py's LSH.
+  doc-id band prefilter; the scale path is ops/similarity.py's LSH;
+- exact n-gram Jaccard: prefix-filtered candidate generation
+  (AllPairs/PPJoin family) — only each doc's rarest
+  ``n - ceil(t*n) + 1`` shingles join, so common shingles never drive a
+  quadratic self-join; proven output-identical to the naive form
+  (tests/test_training_ops.py) with the naive form kept for small
+  bounded corpora.
 """
 
 from __future__ import annotations
@@ -139,9 +145,12 @@ def simhash_expr(col, bits: int = 16):
     return out
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Exact n-gram Jaccard over shingle sets: explode → self-join on
-    shingle → |∩| per pair → |∪| from per-doc sizes."""
+def ngram_jaccard_naive(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard, direct form: explode → self-join on shingle
+    → |∩| per pair → |∪| from per-doc sizes.  Quadratic on shared
+    shingles — right for SMALL bounded corpora (fewer shuffles beats
+    prefix bookkeeping below ~10⁴ docs); ngram_jaccard_pairs is the
+    scale path and returns identical output."""
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     ).distinct()
@@ -155,6 +164,79 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin
+    family, public literature): a pair with J ≥ t must share a shingle
+    within each side's first ``n - ceil(t·n) + 1`` shingles under a
+    global order (rarest-first maximizes pruning) — so candidate
+    generation joins only the prefixes, then the full intersection is
+    computed for surviving candidates only.  Output is IDENTICAL to the
+    naive all-shingles self-join (theorem, and the DuckDB oracle below
+    verifies it value-exactly); the candidate join is what scales —
+    pruning power grows with t (t=0.9 joins ~10% of shingles).
+
+    Shuffles: freq count (shingle), per-doc rank (doc_id), prefix
+    self-join (shingle — rare keys by construction), intersection join
+    (candidate pair keys).  No quadratic blowup on common shingles:
+    frequent shingles rank LAST and fall outside prefixes."""
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    fb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
@@ -195,7 +277,9 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    return ngram_jaccard_pairs(
+    # naive form for the bounded driver corpus (fast); the prefix-filter
+    # scale path is output-identical (tests/test_training_ops.py)
+    return ngram_jaccard_naive(
         tbl(spark, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.3
     )
 

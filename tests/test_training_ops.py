@@ -91,3 +91,24 @@ def test_multimodal_batch_plumbing(spark):
     # metadata struct round-trips
     m = media.select("meta.width", "meta.height").first()
     assert m["width"] >= 16 and m["height"] >= 16
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    """The PPJoin-style prefix-filtered exact Jaccard must return
+    EXACTLY the naive self-join's pairs (the prefix-filter theorem),
+    at multiple thresholds."""
+    from stellar_ingest.ops.dedup import ngram_jaccard_naive
+
+    docs = _docs_with_dups(spark)
+    for t in (0.3, 0.6, 0.9):
+        naive = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_naive(docs, threshold=t).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert pref == naive, f"threshold {t}: prefix != naive"
+        if t == 0.6:
+            assert naive, "expected planted near-dups above 0.6"
