@@ -87,6 +87,19 @@ def q_agg_filtered(spark, sf):
     )
 
 
+def q_agg_percentiles(spark, sf):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`): median + p90 of line quantities per return flag.
+    Exact percentile sorts within groups — fine for bounded group
+    counts; the sketch path for 100 TB is op 29's approx family."""
+    li = tbl(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("price_p25"),
+    )
+
+
 def q_agg_collect_ordered(spark, sf):
     """Ordered collect (transcript-reassembly shape, op 33) expressed on
     lineitem: per order, line numbers concatenated in order."""
@@ -157,6 +170,13 @@ ORACLE = {
                CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS qty_filled
         FROM lineitem GROUP BY l_returnflag
     """,
+    "agg_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+               round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "agg_filtered": """
         SELECT o_orderpriority,
                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(38,2)) AS DOUBLE) AS filled_total,
@@ -181,6 +201,7 @@ QUERIES = {
     "agg_rollup": q_agg_rollup,
     "agg_pivot": q_agg_pivot,
     "agg_filtered": q_agg_filtered,
+    "agg_percentiles": q_agg_percentiles,
     "agg_collect_ordered": q_agg_collect_ordered,
     "agg_fingerprint": q_agg_fingerprint,
 }

@@ -138,6 +138,20 @@ def q_join_range(spark, sf):
     )
 
 
+def q_join_cross(spark, sf):
+    """Cross join (completes the join zoo): region x nation grid with a
+    derived same-region flag.  Scale: only ever sane when one side is
+    broadcast-tiny — which Catalyst enforces here (BroadcastNestedLoop
+    with the 5-row side broadcast)."""
+    r = tbl(spark, sf, "region").select("r_regionkey", "r_name")
+    n = tbl(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_nationkey",
+        "r_regionkey",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("home_region"),
+    )
+
+
 def q_join_asof(spark, sf):
     """As-of join (op 23): for each event, the user's most recent order
     at-or-before the event time (orders as the versioned 'dim')."""
@@ -180,6 +194,10 @@ def q_join_interval(spark, sf):
 
 
 ORACLE = {
+    "join_cross": """
+        SELECT n_nationkey, r_regionkey, n_regionkey = r_regionkey AS home_region
+        FROM nation CROSS JOIN region
+    """,
     "join_inner": """
         SELECT o_orderkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey
@@ -248,6 +266,7 @@ QUERIES = {
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_range": q_join_range,
+    "join_cross": q_join_cross,
     "join_asof": q_join_asof,
     "join_interval": q_join_interval,
 }

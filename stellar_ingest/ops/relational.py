@@ -81,6 +81,21 @@ def q_scan_csv(spark, sf):
     )
 
 
+def q_scan_json(spark, sf):
+    """JSON-lines round-trip (io/scan.py op 2, json form): export nation
+    deterministically, read it back typed."""
+    import os
+    import tempfile
+
+    pdf = tbl(spark, sf, "nation").orderBy("n_nationkey").toPandas()
+    d = tempfile.mkdtemp(prefix="stellar_json_")
+    path = os.path.join(d, "nation.jsonl")
+    pdf[["n_nationkey", "n_name", "n_regionkey"]].to_json(
+        path, orient="records", lines=True
+    )
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").json(path)
+
+
 def q_project(spark, sf):
     return project(
         tbl(spark, sf, "customer"),
@@ -168,6 +183,7 @@ ORACLE = {
         FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01'
     """,
     "scan_csv": "SELECT r_regionkey, r_name FROM region",
+    "scan_json": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "project": "SELECT c_custkey, c_name, c_mktsegment AS segment FROM customer",
     "filter_pred": """
         SELECT * FROM orders
@@ -212,6 +228,7 @@ ORACLE = {
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "scan_csv": q_scan_csv,
+    "scan_json": q_scan_json,
     "project": q_project,
     "filter_pred": q_filter_pred,
     "derive": q_derive,

@@ -136,6 +136,23 @@ def q_win_tumbling(spark, sf):
     )
 
 
+def q_win_sliding(spark, sf):
+    """Sliding (hopping) windows — 6-hour width, 3-hour slide: each
+    event lands in exactly two overlapping windows (op 56's hopping
+    form).  Oracle mirrors the assignment arithmetically (epoch-aligned
+    buckets, one row per candidate window start)."""
+    e = tbl(spark, sf, "events")
+    win = F.window(F.col("ts"), "6 hours", "3 hours")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
 ORACLE = {
     "win_rank": """
         SELECT o_custkey, o_orderkey,
@@ -193,6 +210,20 @@ ORACLE = {
                CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "win_sliding": """
+        WITH cand AS (
+            SELECT ts, value,
+                   unnest([CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT),
+                           CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT) - 10800]) AS ws
+            FROM events
+        )
+        SELECT make_timestamp(ws * 1000000) AS win_start,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+        FROM cand
+        WHERE epoch(ts) >= ws AND epoch(ts) < ws + 21600
+        GROUP BY ws
+    """,
 }
 
 QUERIES = {
@@ -204,4 +235,5 @@ QUERIES = {
     "win_ntile": q_win_ntile,
     "topk_per_group": q_topk_per_group,
     "win_tumbling": q_win_tumbling,
+    "win_sliding": q_win_sliding,
 }
