@@ -24,16 +24,21 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def hwm_predicate(offsets: dict[int, int]):
+def hwm_predicate(
+    offsets: dict[int, int], *, part_col: str = "src_part", lsn_col: str = "lsn"
+):
     """Column predicate: keep rows with lsn strictly above their source
-    partition's high-watermark (unknown partitions pass)."""
+    partition's high-watermark (unknown partitions pass).  Column names
+    are parameterized so the same predicate serves the ledger tail
+    (src_part/lsn) and the stored-table incremental read
+    (_src_part/_lsn, lake/read.py::read_changes)."""
     if not offsets:
         return F.lit(True)
     pred = None
     for part, hwm in sorted(offsets.items()):
-        clause = (F.col("src_part") == int(part)) & (F.col("lsn") > int(hwm))
+        clause = (F.col(part_col) == int(part)) & (F.col(lsn_col) > int(hwm))
         pred = clause if pred is None else (pred | clause)
-    known = F.col("src_part").isin([int(p) for p in offsets])
+    known = F.col(part_col).isin([int(p) for p in offsets])
     return pred | ~known
 
 

@@ -71,9 +71,16 @@ def emit(
 
     Idempotent per epoch: the runner emits BEFORE the checkpoint save, so
     a crash in between replays the emit on restart — records for an epoch
-    already present in the file are skipped, never duplicated.  The same
-    property lets the fence repair re-emit a torn epoch's lineage from
-    the snapshot summary (``repaired=True``, no wall-clock available)."""
+    already present in the file are skipped, never duplicated.  Epochs
+    append in strictly increasing order, so the check is O(1): read the
+    LAST complete line, not the whole file.  The same property lets the
+    fence repair re-emit a torn epoch's lineage from the snapshot summary
+    (``repaired=True``, no wall-clock available).
+
+    Crash-atomicity: an epoch is ONE JSONL line ({"epoch", "records"}),
+    so a crash mid-append leaves at most one torn line, which fails to
+    parse and reads as absent — the replayed emit rewrites the whole
+    epoch.  A partially-recorded epoch is unrepresentable."""
     total = sum(p["rows"] for p in partition_stats)
     eps = (total / (wall_ms / 1000.0)) if wall_ms > 0 else 0.0
     records = [
@@ -91,19 +98,61 @@ def emit(
         }
         for p in partition_stats
     ]
-    if any(r["epoch"] == epoch for r in read_lineage(checkpoint_dir)):
+    last = last_emitted_epoch(checkpoint_dir)
+    if last is not None and last >= epoch:
         return records
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, LINEAGE_FILE)
-    with open(path, "a") as fh:
-        for rec in records:
-            fh.write(json.dumps(rec, sort_keys=True) + "\n")
+    line = json.dumps({"epoch": epoch, "records": records}, sort_keys=True) + "\n"
+    with open(path, "ab") as fh:
+        if fh.tell() > 0:
+            with open(path, "rb") as rf:
+                rf.seek(-1, os.SEEK_END)
+                if rf.read(1) != b"\n":
+                    # previous append was torn mid-line by a crash: start
+                    # fresh so the replayed epoch isn't swallowed into it
+                    fh.write(b"\n")
+        fh.write(line.encode("utf-8"))
+        fh.flush()
+        os.fsync(fh.fileno())
     return records
 
 
+def last_emitted_epoch(checkpoint_dir: str) -> int | None:
+    """Epoch of the last COMPLETE record, reading only the file tail
+    (epochs are append-ordered; a torn final line parses as absent)."""
+    path = os.path.join(checkpoint_dir, LINEAGE_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        fh.seek(0, os.SEEK_END)
+        size = fh.tell()
+        fh.seek(max(0, size - 65536))
+        tail = fh.read().decode("utf-8", errors="replace")
+    for line in reversed(tail.splitlines()):
+        if not line.strip():
+            continue
+        try:
+            return int(json.loads(line)["epoch"])
+        except (json.JSONDecodeError, KeyError, ValueError):
+            continue  # torn trailing line — look one earlier
+    return None
+
+
 def read_lineage(checkpoint_dir: str) -> list[dict]:
+    """Flat per-(epoch, src_part) records; tolerant of a torn trailing
+    line from a crash mid-append (skipped — its epoch re-emits)."""
     path = os.path.join(checkpoint_dir, LINEAGE_FILE)
     if not os.path.exists(path):
         return []
+    out: list[dict] = []
     with open(path) as fh:
-        return [json.loads(line) for line in fh if line.strip()]
+        for line in fh:
+            if not line.strip():
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn trailing line from a crash mid-append
+            out.extend(obj["records"]) if "records" in obj else out.append(obj)
+    return out

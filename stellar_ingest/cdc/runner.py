@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 
 from ..lake.core import IceboxTable
 from ..lake.merge import merge_apply
-from ..schema import ENVELOPE_COLS, table_schema_for
+from ..schema import ENVELOPE_COLS, ensure_table_schema, table_schema_for
 from . import checkpoint as ckpt
 from . import lineage as lin
 from .dedupe import hwm_predicate
@@ -50,34 +50,77 @@ from .source import list_segments, read_batch, select_batch
 from .validate import split_valid, validity_predicate
 
 
-def _fence_and_repair(table: IceboxTable, checkpoint_dir: str, ck: dict) -> dict:
+def _fence_and_repair(
+    spark: SparkSession,
+    ledger_dir: str,
+    table: IceboxTable,
+    checkpoint_dir: str,
+    ck: dict,
+) -> dict:
+    """Torn-commit repair (crash between snapshot-commit and
+    checkpoint-write).  Repair order mirrors the normal epoch tail —
+    dead-letter, then lineage, then checkpoint — so a crash at ANY point
+    during repair just re-enters repair on the next start; every step is
+    idempotent."""
     snap = table.current_snapshot() if table.exists() else None
     if snap is None:
         return ck
     summary = snap.get("summary", {})
     snap_epoch = int(summary.get("epoch", 0))
-    if snap_epoch > ck["epoch"]:
-        ck = {
-            "epoch": snap_epoch,
-            "offsets": {int(k): int(v) for k, v in summary.get("offsets", {}).items()},
-            "snapshot_id": snap["snapshot_id"],
-        }
-        ckpt.save(checkpoint_dir, ck)
-        # the crash fell between snapshot-commit and checkpoint-write:
-        # re-emit the torn epoch's lineage from the stats the commit
-        # carried (lin.emit is idempotent per epoch, so if the crash fell
-        # after the emit instead this is a no-op)
-        linfo = summary.get("lineage")
-        if linfo is not None:
-            lin.emit(
-                checkpoint_dir,
-                epoch=snap_epoch,
-                snapshot_id=snap["snapshot_id"],
-                partition_stats=linfo["partition_stats"],
-                wall_ms=0.0,
-                quarantined=int(linfo.get("quarantined", 0)),
-                repaired=True,
+    if snap_epoch <= ck["epoch"]:
+        return ck
+    new_offsets = {int(k): int(v) for k, v in summary.get("offsets", {}).items()}
+    linfo = summary.get("lineage")
+    if linfo is not None:
+        # 1. the torn epoch's quarantined ROWS: re-derive them from the
+        #    immutable ledger — the torn batch is exactly
+        #    (parent offsets, committed offsets]
+        if int(linfo.get("quarantined", 0)) > 0:
+            qdir = os.path.join(
+                checkpoint_dir, "quarantine", f"epoch={snap_epoch}"
             )
+            if not os.path.exists(qdir):
+                parent_id = snap.get("parent_snapshot_id")
+                parent_offsets = (
+                    {
+                        int(k): int(v)
+                        for k, v in table.snapshot(parent_id)["summary"]
+                        .get("offsets", {})
+                        .items()
+                    }
+                    if parent_id is not None
+                    else {}
+                )
+                segs = [
+                    s
+                    for s in list_segments(ledger_dir)
+                    if s.max_lsn > parent_offsets.get(s.src_part, -1)
+                    and s.src_part in new_offsets
+                ]
+                if segs:
+                    torn = read_batch(spark, segs, parent_offsets, new_offsets)
+                    torn.filter(~validity_predicate()).write.mode(
+                        "overwrite"
+                    ).parquet(qdir)
+        # 2. lineage BEFORE the checkpoint save (same invariant as the
+        #    normal path: the audit log can never have an epoch gap)
+        lin.emit(
+            checkpoint_dir,
+            epoch=snap_epoch,
+            snapshot_id=snap["snapshot_id"],
+            partition_stats=linfo["partition_stats"],
+            wall_ms=0.0,
+            quarantined=int(linfo.get("quarantined", 0)),
+            repaired=True,
+        )
+    # 3. checkpoint last — the fence stays armed until everything above
+    #    landed
+    ck = {
+        "epoch": snap_epoch,
+        "offsets": new_offsets,
+        "snapshot_id": snap["snapshot_id"],
+    }
+    ckpt.save(checkpoint_dir, ck)
     return ck
 
 
@@ -111,7 +154,7 @@ def run_increment(
             t0 = time.monotonic()
             ck = ckpt.load(checkpoint_dir)
             if table.exists():
-                ck = _fence_and_repair(table, checkpoint_dir, ck)
+                ck = _fence_and_repair(spark, ledger_dir, table, checkpoint_dir, ck)
 
             # epoch e+1's ledger discovery overlapped epoch e's merge
             # (driver-side footer listing costs ~seconds at production
@@ -164,13 +207,7 @@ def run_increment(
                 )
                 table = IceboxTable(table_root)
             else:
-                known = {f["name"] for f in table.schema_fields()}
-                new_cols = T.StructType(
-                    [f for f in batch_table_schema.fields if f.name not in known]
-                )
-                if len(new_cols.fields) > 0:
-                    hook("pre_evolve")
-                    table.evolve_schema(new_cols)
+                ensure_table_schema(table, batch_table_schema, hook=hook)
 
             batch_salts = plan_salts(valid) if salts == "auto" else salts
 
@@ -212,9 +249,9 @@ def run_increment(
             # dead-letter sink: quarantined rows are persisted, never silently
             # dropped (validate.py contract).  Costs a second ledger scan only
             # on epochs that actually had bad rows; overwrite mode keeps
-            # crash-replays idempotent.  (Narrow caveat: a crash inside the
-            # snapshot→checkpoint window loses this epoch's dead-letter ROWS —
-            # the fence-repaired lineage still records their count.)
+            # crash-replays idempotent.  A crash inside the snapshot→checkpoint
+            # window is covered too: _fence_and_repair re-derives the torn
+            # batch's quarantined rows from the immutable ledger.
             if stash["n_bad"]:
                 bad.write.mode("overwrite").parquet(
                     os.path.join(checkpoint_dir, "quarantine", f"epoch={epoch}")

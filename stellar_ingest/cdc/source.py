@@ -54,13 +54,16 @@ def _lsn_range(pf: pq.ParquetFile) -> tuple[int, int]:
     for i in range(md.num_row_groups):
         st = md.row_group(i).column(idx).statistics
         if st is None or not st.has_min_max:
-            continue
+            # ANY stats-less row group invalidates the footer fast-path:
+            # a partial range would under-report max_lsn and silently
+            # skip that group's rows forever — fall back to reading just
+            # the lsn column (column-pruned, one file; rare by
+            # construction)
+            lo = None
+            break
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
     if lo is None:
-        # segment written without column statistics: the footer fast-path
-        # is unavailable — fall back to reading just the lsn column
-        # (column-pruned, one column of one file; rare by construction)
         col = pf.read(columns=["lsn"]).column("lsn")
         import pyarrow.compute as pc
 

@@ -106,30 +106,43 @@ def expire_snapshots(table: IceboxTable, *, keep_last: int = 2) -> dict:
         live_paths |= {e["path"] for e in table.files(sid)}
         live_manifests |= _manifest_names(sid)
 
-    n_data = n_manifest = 0
+    # collect EVERYTHING to delete before touching anything — expired
+    # snapshots share manifests by reference (v2), so deleting while
+    # iterating would break reads of later expired snapshots mid-pass
+    dead_data: set[str] = set()
+    dead_manifests: set[str] = set()
+    dead_lists: list[str] = []
     for s in expired:
         sid = s["snapshot_id"]
-        for e in table.files(sid):
-            if e["path"] not in live_paths:
-                full = os.path.join(table.root, e["path"])
-                if os.path.exists(full):
-                    os.remove(full)
-                    n_data += 1
-        for name in _manifest_names(sid) - live_manifests:
-            full = os.path.join(table.meta_dir, name)
-            if os.path.exists(full):
-                os.remove(full)
-                n_manifest += 1
-        ml_path = os.path.join(table.meta_dir, f"snap-{sid}.manifest-list.json")
-        if os.path.exists(ml_path):
-            os.remove(ml_path)
+        dead_data |= {e["path"] for e in table.files(sid)} - live_paths
+        dead_manifests |= _manifest_names(sid) - live_manifests
+        dead_lists.append(f"snap-{sid}.manifest-list.json")
 
+    # metadata commit FIRST: a crash mid-delete then leaves a consistent
+    # table plus harmless orphan files (the same guarantee core.commit
+    # gives), never a kept snapshot pointing at deleted manifests
     version = table._version()
     meta["snapshots"] = kept
     _atomic_write_json(
         os.path.join(table.meta_dir, f"v{version + 1}.metadata.json"), meta
     )
     _atomic_write_json(table._hint, {"version": version + 1})
+
+    n_data = n_manifest = 0
+    for rel in sorted(dead_data):
+        full = os.path.join(table.root, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            n_data += 1
+    for name in sorted(dead_manifests):
+        full = os.path.join(table.meta_dir, name)
+        if os.path.exists(full):
+            os.remove(full)
+            n_manifest += 1
+    for name in dead_lists:
+        full = os.path.join(table.meta_dir, name)
+        if os.path.exists(full):
+            os.remove(full)
     return {
         "snapshots_expired": len(expired),
         "data_files_deleted": n_data,

@@ -71,16 +71,26 @@ def read_changes(
     snapshot appears once, with its latest state — the right contract
     for downstream table sync (replaying the ledger gives the full
     event history if needed)."""
+    from ..cdc.dedupe import hwm_predicate
+
     base = table.snapshot(since_snapshot_id)["summary"].get("offsets", {})
-    df = scan(spark, table, snapshot_id=snapshot_id)
     if not base:
-        return df
-    pred = None
-    for part, hwm in sorted(base.items()):
-        clause = (F.col("_src_part") == int(part)) & (F.col("_lsn") > int(hwm))
-        pred = clause if pred is None else (pred | clause)
-    known = F.col("_src_part").isin([int(p) for p in base])
-    return df.filter(pred | ~known)
+        # a snapshot without checkpointed watermarks (plain append,
+        # streaming ss_batch fence, compaction of such) cannot anchor an
+        # incremental read — refuse loudly instead of returning the
+        # whole table as "changes"
+        raise ValueError(
+            f"snapshot {since_snapshot_id} carries no source offsets in its "
+            "summary; incremental reads need a CDC-committed base snapshot"
+        )
+    df = scan(spark, table, snapshot_id=snapshot_id)
+    return df.filter(
+        hwm_predicate(
+            {int(k): int(v) for k, v in base.items()},
+            part_col="_src_part",
+            lsn_col="_lsn",
+        )
+    )
 
 
 def read_live(

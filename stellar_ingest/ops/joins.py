@@ -52,6 +52,8 @@ def asof_join(
     out = j.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     renames = {f"__dim_{c}": c for c in dim_cols if c != on}
     out = out.drop("__rn").withColumnsRenamed(renames)
+    if dim_ts not in dim_cols:
+        out = out.drop(f"__dim_{dim_ts}")  # ordering column the caller didn't ask for
     return out if fact_key else out.drop("__fid")
 
 

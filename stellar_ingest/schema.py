@@ -61,3 +61,19 @@ def table_schema_for(changelog_schema: T.StructType) -> T.StructType:
     schema: payload columns in ledger order, then meta columns."""
     payload = [f for f in changelog_schema.fields if f.name not in ENVELOPE_COLS]
     return T.StructType(payload + META_FIELDS)
+
+
+def ensure_table_schema(table, batch_table_schema, *, hook=None):
+    """Additive evolution rule shared by the batch runner and the
+    streaming adapter: commit (metadata-only) any column the batch
+    carries that the table lacks, BEFORE the data write
+    (BASELINE.json ordering requirement).  Returns the new columns."""
+    known = {f["name"] for f in table.schema_fields()}
+    new_cols = T.StructType(
+        [f for f in batch_table_schema.fields if f.name not in known]
+    )
+    if len(new_cols.fields) > 0:
+        if hook is not None:
+            hook("pre_evolve")
+        table.evolve_schema(new_cols)
+    return new_cols

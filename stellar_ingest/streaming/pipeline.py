@@ -24,7 +24,7 @@ from ..cdc.source import batch_schema, list_segments
 from ..cdc.validate import split_valid
 from ..lake.core import IceboxTable
 from ..lake.merge import merge_apply
-from ..schema import CHANGELOG_SCHEMA, table_schema_for
+from ..schema import CHANGELOG_SCHEMA, ensure_table_schema, table_schema_for
 
 
 def ledger_stream_schema(ledger_dir: str):
@@ -89,21 +89,8 @@ def run_streaming(
             )
             table = IceboxTable(table_root)
         else:
-            # additive evolution, same rule as the batch runner: columns
-            # the stream carries but the table lacks are committed
-            # (metadata-only) before the data write
-            from pyspark.sql import types as T
-
-            known = {f["name"] for f in table.schema_fields()}
-            new_cols = T.StructType(
-                [
-                    f
-                    for f in table_schema_for(valid.schema).fields
-                    if f.name not in known
-                ]
-            )
-            if len(new_cols.fields) > 0:
-                table.evolve_schema(new_cols)
+            # additive evolution, same rule as the batch runner
+            ensure_table_schema(table, table_schema_for(valid.schema))
         snap = table.current_snapshot()
         epoch = int(snap["summary"].get("epoch", 0)) if snap else 0
         if snap and int(snap["summary"].get("ss_batch_id", -1)) >= batch_id:

@@ -154,3 +154,137 @@ def test_runner_dead_letters_quarantined_rows(spark, tmp_path):
     dead = spark.read.parquet(f"{ck}/quarantine/epoch=1")
     assert {r["lsn"] for r in dead.collect()} == {2, 3}
     assert all(r["quarantined"] == 2 for r in read_lineage(ck))
+
+
+def test_lineage_log_survives_torn_append(tmp_path):
+    """Crash mid-append leaves a torn line: reads skip it, the epoch
+    reads as absent, the replayed emit lands on a fresh line, and the
+    idempotence check stays O(1) (tail read)."""
+    import os
+
+    from stellar_ingest.cdc import lineage as lin
+
+    ck = str(tmp_path)
+    st = [{"src_part": 0, "lsn_from": 1, "lsn_to": 5, "rows": 5}]
+    lin.emit(ck, epoch=1, snapshot_id=1, partition_stats=st, wall_ms=10)
+    lin.emit(ck, epoch=2, snapshot_id=2, partition_stats=st, wall_ms=10)
+    lin.emit(ck, epoch=2, snapshot_id=2, partition_stats=st, wall_ms=10)  # dup: skipped
+    assert [r["epoch"] for r in lin.read_lineage(ck)] == [1, 2]
+    # simulate a crash mid-append of epoch 3 (torn, no newline)
+    with open(os.path.join(ck, lin.LINEAGE_FILE), "a") as fh:
+        fh.write('{"epoch": 3, "records": [{"src_')
+    assert lin.last_emitted_epoch(ck) == 2
+    assert [r["epoch"] for r in lin.read_lineage(ck)] == [1, 2]
+    # replayed emit must not be swallowed by the torn line
+    lin.emit(ck, epoch=3, snapshot_id=3, partition_stats=st, wall_ms=10)
+    assert [r["epoch"] for r in lin.read_lineage(ck)] == [1, 2, 3]
+
+
+def test_segment_with_partial_row_group_stats_loses_nothing(spark, tmp_path):
+    """A segment where only SOME row groups carry lsn stats must fall
+    back to reading the column — a partial footer range under-reports
+    max_lsn and would silently skip rows forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_ingest.cdc.source import list_segments
+
+    from .helpers import ts as _ts
+
+    seg = tmp_path / "ledger" / "part=0" / "seg=0"
+    seg.mkdir(parents=True)
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2, 50, 60], pa.int64()),
+            "src_part": pa.array([0] * 4, pa.int32()),
+            "op": ["I"] * 4,
+            "conv_id": ["c1", "c2", "c3", "c4"],
+            "turn_idx": pa.array([0, 0, 0, 0], pa.int32()),
+            "role": ["user"] * 4,
+            "text": ["a", "b", "c", "d"],
+            "ts": pa.array([_ts(i) for i in range(4)], pa.timestamp("us")),
+        }
+    )
+    # two row groups; statistics disabled entirely (worst case: the
+    # footer has rows but NO usable lsn min/max anywhere)
+    pq.write_table(t, seg / "s.parquet", row_group_size=2, write_statistics=False)
+    segs = list_segments(str(tmp_path / "ledger"))
+    assert len(segs) == 1
+    assert (segs[0].min_lsn, segs[0].max_lsn) == (1, 60)  # column fallback
+
+
+def test_read_changes_refuses_offsetless_base(spark, tmp_path):
+    """A base snapshot without checkpointed watermarks (plain append)
+    cannot anchor an incremental read — loud error, not a full-table
+    'diff'."""
+    import pytest as _pytest
+
+    from stellar_ingest.lake.core import IceboxTable
+    from stellar_ingest.lake.read import read_changes
+    from stellar_ingest.lake.write import append
+    from stellar_ingest.schema import TABLE_SCHEMA
+
+    from .helpers import ts as _ts
+
+    t = IceboxTable.create(str(tmp_path / "t"), TABLE_SCHEMA, num_buckets=4)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "x", None, _ts(1), _ts(1), 1, 0, "U")], TABLE_SCHEMA
+    )
+    sid = append(spark, t, df)
+    with _pytest.raises(ValueError, match="no source offsets"):
+        read_changes(spark, t, sid)
+
+
+def test_torn_commit_rederives_quarantine_and_lineage(spark, tmp_path):
+    """Crash between snapshot-commit and checkpoint on an epoch WITH
+    quarantined rows: the fence repair re-derives the dead-letter rows
+    from the immutable ledger and re-emits the epoch's lineage — no gap,
+    no lost rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from stellar_ingest.cdc.lineage import read_lineage
+    from stellar_ingest.cdc.runner import run_increment
+    from stellar_ingest.lake.core import IceboxTable
+    from stellar_ingest.lake.read import read_live
+
+    from .helpers import ts as _ts
+
+    seg = tmp_path / "ledger" / "part=0" / "seg=0"
+    seg.mkdir(parents=True)
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "src_part": pa.array([0, 0, 0], pa.int32()),
+            "op": ["I", None, "I"],
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": ["user", "user", "user"],
+            "text": ["ok1", "bad", "ok2"],
+            "ts": pa.array([_ts(1), _ts(2), _ts(3)], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, seg / "s.parquet")
+    table_root, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+
+    class Boom(RuntimeError):
+        pass
+
+    def hook(point):
+        if point == "post_snapshot":
+            raise Boom(point)
+
+    with _pytest.raises(Boom):
+        run_increment(spark, str(tmp_path / "ledger"), table_root, ck,
+                      salts=None, crash_hook=hook)
+    # snapshot committed, but neither quarantine nor lineage nor
+    # checkpoint landed — restart must repair all three
+    assert not (tmp_path / "ck" / "quarantine").exists()
+    run_increment(spark, str(tmp_path / "ledger"), table_root, ck, salts=None)
+    dead = spark.read.parquet(f"{ck}/quarantine/epoch=1")
+    assert {r["lsn"] for r in dead.collect()} == {2}
+    recs = read_lineage(ck)
+    assert [r["epoch"] for r in recs] == [1]
+    assert recs[0]["repaired"] is True and recs[0]["quarantined"] == 1
+    assert {r["text"] for r in read_live(spark, IceboxTable(table_root)).collect()} == {"ok1", "ok2"}

@@ -183,3 +183,34 @@ def test_commit_is_atomic_under_partial_write(spark, tmp_table):
         json.dump(meta, fh)
     assert t._version() == v_before
     assert read_live(spark, t).count() == 1
+
+
+def test_expire_with_shared_manifests_across_expired_snapshots(spark, tmp_table):
+    """Two+ expired snapshots share untouched buckets' manifests by
+    reference (format v2); expiry must collect-then-delete, not delete
+    while iterating — and survive a re-run."""
+    import os
+
+    from stellar_ingest.lake.maintain import expire_snapshots
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=8)
+    items = [(f"c{i}", 0, "user", f"t{i}", None, i, i, 0, "U") for i in range(24)]
+    append(spark, t, _rows(spark, items))
+    ml = t.manifest_list(t.metadata()["current_snapshot_id"])
+    buckets = sorted(int(b) for b in ml)
+    assert len(buckets) >= 3
+    # three successive single-bucket overwrites → s2/s3/s4 each share
+    # every untouched bucket's manifest with earlier snapshots
+    for b in buckets[:3]:
+        repl = scan(spark, t, buckets=[b]).withColumn("text", F.lit(f"rw{b}"))
+        overwrite_buckets(spark, t, repl, [b])
+    out = expire_snapshots(t, keep_last=1)
+    assert out["snapshots_expired"] == 3
+    assert len(t.snapshots()) == 1
+    # every file the current snapshot references still exists
+    for e in t.files():
+        assert os.path.exists(os.path.join(t.root, e["path"]))
+    assert read_live(spark, t).count() == 24
+    # idempotent re-run: nothing left to expire
+    again = expire_snapshots(t, keep_last=1)
+    assert again["snapshots_expired"] == 0
