@@ -8,6 +8,9 @@ Usage (spark-submit --py-files stellar_ingest.zip)::
         [--max-segments-per-part N] [--max-epochs K] [--salts auto|none|INT]
     python -m stellar_ingest.cli gen      --out L --convs N [--parts P]
     python -m stellar_ingest.cli show     --table T [--snapshot ID]
+    python -m stellar_ingest.cli compact  --table T [--min-files N]
+    python -m stellar_ingest.cli expire   --table T [--keep-last N]
+    python -m stellar_ingest.cli changes  --table T --since SNAPSHOT_ID
 """
 
 from __future__ import annotations
@@ -54,6 +57,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--table", required=True)
     s.add_argument("--snapshot", type=int, default=None)
 
+    c = sub.add_parser("compact", parents=[common])
+    c.add_argument("--table", required=True)
+    c.add_argument("--min-files", type=int, default=2)
+
+    e = sub.add_parser("expire")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=2)
+
+    ch = sub.add_parser("changes", parents=[common])
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--since", type=int, required=True)
+    ch.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "show":
@@ -73,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out, indent=1))
         return 0
 
+    if args.cmd == "expire":
+        from .lake.core import IceboxTable
+        from .lake.maintain import expire_snapshots
+
+        out = expire_snapshots(IceboxTable(args.table), keep_last=args.keep_last)
+        print(json.dumps(out))
+        return 0
+
     from .session import get_spark
 
     spark = get_spark(
@@ -86,6 +110,25 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.out, n_convs=args.convs, parts=args.parts, seed=args.seed
         )
         print(json.dumps({"events": ev.count(), "out": args.out}))
+        return 0
+
+    if args.cmd == "compact":
+        from .lake.core import IceboxTable
+        from .lake.maintain import compact
+
+        t = IceboxTable(args.table)
+        sid = compact(spark, t, min_files_per_bucket=args.min_files)
+        print(json.dumps({"snapshot_id": sid, "files": len(t.files())}))
+        return 0
+
+    if args.cmd == "changes":
+        from .lake.core import IceboxTable
+        from .lake.read import read_changes
+
+        df = read_changes(spark, IceboxTable(args.table), args.since)
+        n = df.count()
+        df.show(args.limit, truncate=40)
+        print(json.dumps({"changed_rows": n, "since": args.since}))
         return 0
 
     from .cdc.runner import backfill, run_increment
