@@ -120,23 +120,33 @@ def emit(
 
 def last_emitted_epoch(checkpoint_dir: str) -> int | None:
     """Epoch of the last COMPLETE record, reading only the file tail
-    (epochs are append-ordered; a torn final line parses as absent)."""
+    (epochs are append-ordered; a torn final line parses as absent).
+    The tail window doubles until it holds a complete line — an epoch
+    line grows with the source-partition count, so a fixed window could
+    silently stop seeing any complete line at high partition counts."""
     path = os.path.join(checkpoint_dir, LINEAGE_FILE)
     if not os.path.exists(path):
         return None
     with open(path, "rb") as fh:
         fh.seek(0, os.SEEK_END)
         size = fh.tell()
-        fh.seek(max(0, size - 65536))
-        tail = fh.read().decode("utf-8", errors="replace")
-    for line in reversed(tail.splitlines()):
-        if not line.strip():
-            continue
-        try:
-            return int(json.loads(line)["epoch"])
-        except (json.JSONDecodeError, KeyError, ValueError):
-            continue  # torn trailing line — look one earlier
-    return None
+        window = 65536
+        while True:
+            fh.seek(max(0, size - window))
+            tail = fh.read().decode("utf-8", errors="replace")
+            lines = tail.splitlines()
+            if size > window:
+                lines = lines[1:]  # first line may be cut at the window edge
+            for line in reversed(lines):
+                if not line.strip():
+                    continue
+                try:
+                    return int(json.loads(line)["epoch"])
+                except (json.JSONDecodeError, KeyError, ValueError):
+                    continue  # torn trailing line — look one earlier
+            if window >= size:
+                return None
+            window *= 2
 
 
 def read_lineage(checkpoint_dir: str) -> list[dict]:

@@ -41,10 +41,9 @@ from pyspark.sql import types as T
 
 from ..lake.core import IceboxTable
 from ..lake.merge import merge_apply
-from ..schema import ENVELOPE_COLS, ensure_table_schema, table_schema_for
+from ..schema import ensure_table_schema, table_schema_for
 from . import checkpoint as ckpt
 from . import lineage as lin
-from .dedupe import hwm_predicate
 from .skew import plan_salts
 from .source import list_segments, read_batch, select_batch
 from .validate import split_valid, validity_predicate
@@ -74,13 +73,16 @@ def _fence_and_repair(
     if linfo is not None:
         # 1. the torn epoch's quarantined ROWS: re-derive them from the
         #    immutable ledger — the torn batch is exactly
-        #    (parent offsets, committed offsets]
+        #    (parent offsets, committed offsets].  Always rewritten
+        #    (overwrite is idempotent): a bare directory-exists check
+        #    would be fooled by a half-written quarantine dir from the
+        #    crash itself.
         if int(linfo.get("quarantined", 0)) > 0:
             qdir = os.path.join(
                 checkpoint_dir, "quarantine", f"epoch={snap_epoch}"
             )
-            if not os.path.exists(qdir):
-                parent_id = snap.get("parent_snapshot_id")
+            parent_id = snap.get("parent_snapshot_id")
+            try:
                 parent_offsets = (
                     {
                         int(k): int(v)
@@ -91,6 +93,13 @@ def _fence_and_repair(
                     if parent_id is not None
                     else {}
                 )
+            except KeyError:
+                # parent snapshot expired while the fence was armed: the
+                # exact torn batch can no longer be reconstructed — keep
+                # ingest alive (lineage still records the count) rather
+                # than crash on every start
+                parent_offsets = None
+            if parent_offsets is not None:
                 segs = [
                     s
                     for s in list_segments(ledger_dir)

@@ -60,10 +60,13 @@ def compact(
     entries = write_data_files(dfb, table, salt_n=1)
     removed = {e["path"] for e in table.files(buckets=target)}
     prev = table.current_snapshot()
+    # carry the FULL fencing state forward — including the torn-epoch
+    # lineage stats, so compacting while the CDC fence is armed doesn't
+    # erase the repair data _fence_and_repair needs
     summary = {
         k: v
         for k, v in (prev.get("summary", {}) if prev else {}).items()
-        if k in ("epoch", "offsets", "ss_batch_id")
+        if k in ("epoch", "offsets", "ss_batch_id", "lineage")
     }
     summary["maintenance"] = "compact"
     summary["compacted_buckets"] = target

@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cdc.resolve import resolve
-from ..schema import ENVELOPE_COLS
 from .core import IceboxTable, fields_to_struct
 from .read import scan
 from .write import bucket_expr, write_data_files

@@ -217,7 +217,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
         .join(sizes, "doc_id")
     )
     prefix = ranked.filter(
-        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        # integer-exact ceil(t*n): float ceil over-rounds exact products
+        # (0.28*25 -> 7.000000000000001 -> 8), shortening the prefix by 1
+        # and breaking the identical-output theorem.  t is held as a
+        # rational tnum/10^6; ceil(a/b) = floor((a+b-1)/b) in integers.
+        F.col("rk")
+        <= F.col("n_sh")
+        - F.floor(
+            (F.lit(round(threshold * 1_000_000)) * F.col("n_sh") + F.lit(999_999))
+            / F.lit(1_000_000)
+        )
+        + 1
     ).select("doc_id", "shingle")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

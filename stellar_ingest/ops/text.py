@@ -7,7 +7,6 @@ on 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .relational import tbl

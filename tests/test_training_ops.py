@@ -100,7 +100,8 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
     from stellar_ingest.ops.dedup import ngram_jaccard_naive
 
     docs = _docs_with_dups(spark)
-    for t in (0.3, 0.6, 0.9):
+    # 0.28 hits the float-ceil trap (0.28*25 -> 7.000000000000001)
+    for t in (0.28, 0.3, 0.6, 0.9):
         naive = {
             (r["doc_a"], r["doc_b"], r["jaccard"])
             for r in ngram_jaccard_naive(docs, threshold=t).collect()
