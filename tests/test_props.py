@@ -112,3 +112,34 @@ def test_idempotent_reapply(spark, tmp_path_factory, rows):
     fp1 = table_fingerprint(scan(spark, t))
     merge_apply(spark, t, batch)  # replay the SAME batch
     assert table_fingerprint(scan(spark, t)) == fp1
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(rows=mutation_ledgers(), split=st.integers(min_value=0, max_value=14),
+       do_expire=st.booleans())
+def test_maintenance_interleaving_preserves_state(
+    spark, tmp_path_factory, rows, split, do_expire
+):
+    """Compaction (and optional expiry) between MERGE batches is a
+    logical no-op: final fingerprint equals the maintenance-free run."""
+    from stellar_ingest.lake.maintain import compact, expire_snapshots
+
+    split = min(split, len(rows))
+    d1 = str(tmp_path_factory.mktemp("m1"))
+    d2 = str(tmp_path_factory.mktemp("m2"))
+    plain = _apply_batches(spark, d1, rows, [split])
+
+    root = f"{d2}/t"
+    IceboxTable.create(root, TABLE_SCHEMA, num_buckets=4)
+    t = IceboxTable(root)
+    prev = 0
+    for cut in [split, len(rows)]:
+        chunk = rows[prev:cut]
+        prev = cut
+        if chunk:
+            merge_apply(spark, t, make_changelog(spark, chunk))
+        compact(spark, t, min_files_per_bucket=1)  # force a rewrite even if tidy
+        if do_expire:
+            expire_snapshots(t, keep_last=1)
+    assert table_fingerprint(scan(spark, t)) == table_fingerprint(scan(spark, plain))
