@@ -71,21 +71,29 @@ def bench_cdc(spark, n_convs: int) -> dict:
         ev = gen_events(spark, n_convs, parts=8, seed=42)
         n_events = ev.count()
         write_ledger(ev, f"{work}/ledger", n_convs=n_convs, seg_span=keyspace(n_convs) // 2)
-        t0 = time.monotonic()
-        recs = run_increment(
-            spark,
-            f"{work}/ledger",
-            f"{work}/table",
-            f"{work}/ck",
-            max_segments_per_part=None,  # one availableNow drain per epoch burst
-            salts=None,
-            num_buckets=32,
-        )
-        wall = time.monotonic() - t0
+        # best-of-2 drains: this host shows 2-3x run-to-run noise
+        # (BENCH/BASELINE.md); the ledger is generated once
+        walls, epochs = [], 0
+        for trial in range(2):
+            t0 = time.monotonic()
+            recs = run_increment(
+                spark,
+                f"{work}/ledger",
+                f"{work}/table{trial}",
+                f"{work}/ck{trial}",
+                max_segments_per_part=None,  # one availableNow drain
+                salts=None,
+                num_buckets=32,
+            )
+            walls.append(time.monotonic() - t0)
+            epochs = len({r["epoch"] for r in recs})
+            shutil.rmtree(f"{work}/table{trial}", ignore_errors=True)
+        wall = min(walls)
         return {
             "cdc_events": int(n_events),
-            "cdc_epochs": len({r["epoch"] for r in recs}),
+            "cdc_epochs": epochs,
             "cdc_wall_sec": round(wall, 3),
+            "cdc_all_walls": [round(w, 3) for w in walls],
             "cdc_events_per_sec": round(n_events / wall, 1),
         }
     finally:
