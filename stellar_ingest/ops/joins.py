@@ -154,6 +154,27 @@ def q_join_cross(spark, sf):
     )
 
 
+def q_join_dim_supplier(spark, sf):
+    """Supplier dimension rollup (covers the last unused fixture table):
+    broadcast nation dim, per-nation supplier count + account balance
+    stats — the canonical star-schema dim join shape."""
+    s = tbl(spark, sf, "supplier")
+    n = tbl(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double"),
+                2,
+            ).alias("sum_acctbal"),
+        )
+    )
+
+
 def q_join_asof(spark, sf):
     """As-of join (op 23): for each event, the user's most recent order
     at-or-before the event time (orders as the versioned 'dim')."""
@@ -199,6 +220,12 @@ ORACLE = {
     "join_cross": """
         SELECT n_nationkey, r_regionkey, n_regionkey = r_regionkey AS home_region
         FROM nation CROSS JOIN region
+    """,
+    "join_dim_supplier": """
+        SELECT n_name, count(*) AS n_suppliers,
+               round(CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS sum_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
     """,
     "join_inner": """
         SELECT o_orderkey, c_name, o_totalprice
@@ -269,6 +296,7 @@ QUERIES = {
     "join_anti": q_join_anti,
     "join_range": q_join_range,
     "join_cross": q_join_cross,
+    "join_dim_supplier": q_join_dim_supplier,
     "join_asof": q_join_asof,
     "join_interval": q_join_interval,
 }
