@@ -98,6 +98,25 @@ def emit(
         }
         for p in partition_stats
     ]
+    if not records:
+        # epochs with no valid rows (all quarantined/duplicates) and
+        # fence repairs of legacy snapshots without lineage summaries
+        # still get ONE placeholder record — the flat audit log is
+        # gap-free in epochs, not just the JSONL line stream
+        records = [
+            {
+                "epoch": epoch,
+                "src_part": None,
+                "lsn_from": None,
+                "lsn_to": None,
+                "snapshot_id": snapshot_id,
+                "rows": 0,
+                "wall_ms": round(wall_ms, 3),
+                "events_per_sec": 0.0,
+                "quarantined": quarantined,
+                "repaired": repaired,
+            }
+        ]
     last = last_emitted_epoch(checkpoint_dir)
     if last is not None and last >= epoch:
         return records

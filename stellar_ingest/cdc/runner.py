@@ -70,6 +70,24 @@ def _fence_and_repair(
         return ck
     new_offsets = {int(k): int(v) for k, v in summary.get("offsets", {}).items()}
     linfo = summary.get("lineage")
+    # If maintenance (compaction/fold) ran while the fence was armed, the
+    # CURRENT snapshot is the maintenance one — its parent is the torn
+    # snapshot itself, whose offsets equal the committed offsets, so the
+    # torn batch would re-derive as empty.  Walk the parent chain past
+    # maintenance snapshots to the snapshot that actually committed the
+    # torn epoch; its parent holds the true pre-epoch offsets.
+    epoch_snap = snap
+    while (
+        epoch_snap.get("operation") == "replace"
+        or "maintenance" in epoch_snap.get("summary", {})
+    ):
+        pid = epoch_snap.get("parent_snapshot_id")
+        try:
+            epoch_snap = table.snapshot(pid) if pid is not None else None
+        except KeyError:
+            epoch_snap = None  # torn snapshot expired while fence armed
+        if epoch_snap is None:
+            break
     if linfo is not None:
         # 1. the torn epoch's quarantined ROWS: re-derive them from the
         #    immutable ledger — the torn batch is exactly
@@ -81,7 +99,11 @@ def _fence_and_repair(
             qdir = os.path.join(
                 checkpoint_dir, "quarantine", f"epoch={snap_epoch}"
             )
-            parent_id = snap.get("parent_snapshot_id")
+            parent_id = (
+                epoch_snap.get("parent_snapshot_id")
+                if epoch_snap is not None
+                else None
+            )
             try:
                 parent_offsets = (
                     {
@@ -91,7 +113,7 @@ def _fence_and_repair(
                         .items()
                     }
                     if parent_id is not None
-                    else {}
+                    else ({} if epoch_snap is not None else None)
                 )
             except KeyError:
                 # parent snapshot expired while the fence was armed: the
@@ -112,14 +134,29 @@ def _fence_and_repair(
                         "overwrite"
                     ).parquet(qdir)
         # 2. lineage BEFORE the checkpoint save (same invariant as the
-        #    normal path: the audit log can never have an epoch gap)
+        #    normal path: the audit log can never have an epoch gap).
+        #    Attribute the records to the snapshot that committed the
+        #    epoch, not a maintenance snapshot that may now be current.
         lin.emit(
             checkpoint_dir,
             epoch=snap_epoch,
-            snapshot_id=snap["snapshot_id"],
+            snapshot_id=(epoch_snap or snap)["snapshot_id"],
             partition_stats=linfo["partition_stats"],
             wall_ms=0.0,
             quarantined=int(linfo.get("quarantined", 0)),
+            repaired=True,
+        )
+    else:
+        # torn snapshot has no lineage in its summary (pre-v2 code or a
+        # streaming-path commit) — emit a placeholder record so the audit
+        # log stays gap-free even across legacy snapshots
+        lin.emit(
+            checkpoint_dir,
+            epoch=snap_epoch,
+            snapshot_id=(epoch_snap or snap)["snapshot_id"],
+            partition_stats=[],
+            wall_ms=0.0,
+            quarantined=0,
             repaired=True,
         )
     # 3. checkpoint last — the fence stays armed until everything above

@@ -199,5 +199,13 @@ def read_batch(
     for part, hi in sorted(cutoffs.items()):
         clause = (F.col("src_part") == int(part)) & (F.col("lsn") <= int(hi))
         ceil_pred = clause if ceil_pred is None else (ceil_pred | clause)
-    df = df.filter(hwm_predicate(offsets) & ceil_pred)
-    return df
+    # NULL-envelope rows (NULL lsn or src_part) would make the bounds
+    # predicate evaluate to SQL NULL and silently vanish before the
+    # validity split — let them through so validate.py can quarantine
+    # them (rows are quarantined, never dropped).  Plain OR of pushable
+    # leaves: parquet row-group pruning on lsn still applies (null_count
+    # is 0 in well-formed segments, so IS NULL prunes with the stats).
+    bounds = (hwm_predicate(offsets) & ceil_pred) | F.col("lsn").isNull() | F.col(
+        "src_part"
+    ).isNull()
+    return df.filter(bounds)

@@ -288,3 +288,128 @@ def test_torn_commit_rederives_quarantine_and_lineage(spark, tmp_path):
     assert [r["epoch"] for r in recs] == [1]
     assert recs[0]["repaired"] is True and recs[0]["quarantined"] == 1
     assert {r["text"] for r in read_live(spark, IceboxTable(table_root)).collect()} == {"ok1", "ok2"}
+
+
+def test_null_envelope_rows_are_quarantined_not_dropped(spark, tmp_path):
+    """NULL lsn / src_part make the batch-bounds predicate evaluate to
+    SQL NULL — such rows must still reach the validity split and the
+    dead-letter sink, matching the validate.py contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_ingest.cdc.runner import run_increment
+    from stellar_ingest.lake.core import IceboxTable
+    from stellar_ingest.lake.read import read_live
+
+    from .helpers import ts as _ts
+
+    seg = tmp_path / "ledger" / "part=0" / "seg=0"
+    seg.mkdir(parents=True)
+    t = pa.table(
+        {
+            "lsn": pa.array([1, None, 3], pa.int64()),
+            "src_part": pa.array([0, 0, None], pa.int32()),
+            "op": ["I", "I", "I"],
+            "conv_id": ["c1", "c2", "c3"],
+            "turn_idx": pa.array([0, 0, 0], pa.int32()),
+            "role": ["user"] * 3,
+            "text": ["ok", "null-lsn", "null-part"],
+            "ts": pa.array([_ts(1), _ts(2), _ts(3)], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, seg / "s.parquet")
+    table_root, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    recs = run_increment(spark, str(tmp_path / "ledger"), table_root, ck, salts=None)
+    assert sum(r["quarantined"] for r in recs) == 2
+    dead = spark.read.parquet(f"{ck}/quarantine/epoch=1")
+    assert {r["text"] for r in dead.collect()} == {"null-lsn", "null-part"}
+    live = read_live(spark, IceboxTable(table_root))
+    assert {r["text"] for r in live.collect()} == {"ok"}
+
+
+def test_fence_repair_walks_past_maintenance_snapshots(spark, tmp_path):
+    """Compaction while the fence is armed: the current snapshot's parent
+    is the torn snapshot itself — repair must walk past the maintenance
+    snapshot to find the true pre-epoch offsets, or the torn epoch's
+    quarantined rows are silently never written."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from stellar_ingest.cdc.lineage import read_lineage
+    from stellar_ingest.cdc.runner import run_increment
+    from stellar_ingest.lake.core import IceboxTable
+    from stellar_ingest.lake.maintain import compact
+
+    from .helpers import ts as _ts
+
+    seg = tmp_path / "ledger" / "part=0" / "seg=0"
+    seg.mkdir(parents=True)
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "src_part": pa.array([0, 0, 0], pa.int32()),
+            "op": ["I", None, "I"],  # lsn 2 quarantines
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": ["user"] * 3,
+            "text": ["ok1", "bad", "ok2"],
+            "ts": pa.array([_ts(1), _ts(2), _ts(3)], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, seg / "s.parquet")
+    table_root, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+
+    class Boom(RuntimeError):
+        pass
+
+    def hook(point):
+        if point == "post_snapshot":
+            raise Boom(point)
+
+    with _pytest.raises(Boom):
+        run_increment(spark, str(tmp_path / "ledger"), table_root, ck,
+                      salts=None, crash_hook=hook)
+    table = IceboxTable(table_root)
+    # operator compacts while the fence is armed
+    assert compact(spark, table, min_files_per_bucket=1) is not None
+    assert table.current_snapshot()["summary"].get("maintenance") == "compact"
+    run_increment(spark, str(tmp_path / "ledger"), table_root, ck, salts=None)
+    dead = spark.read.parquet(f"{ck}/quarantine/epoch=1")
+    assert {r["lsn"] for r in dead.collect()} == {2}
+    recs = read_lineage(ck)
+    assert [r["epoch"] for r in recs] == [1]
+    assert recs[0]["repaired"] is True
+
+
+def test_legacy_torn_snapshot_emits_placeholder_lineage(spark, tmp_path):
+    """A torn snapshot whose summary lacks the 'lineage' key (pre-v2 or
+    streaming-path commit) must still produce an epoch record — the
+    audit log can never have an epoch gap."""
+    from stellar_ingest.cdc.lineage import read_lineage
+    from stellar_ingest.cdc.runner import run_increment
+    from stellar_ingest.gen.changelog import gen_events, keyspace, write_ledger
+    from stellar_ingest.lake.core import IceboxTable
+    from stellar_ingest.lake.merge import merge_apply
+    from stellar_ingest.schema import table_schema_for
+
+    ev = gen_events(spark, 5, parts=2, seed=11)
+    write_ledger(ev, str(tmp_path / "ledger"), n_convs=5, seg_span=keyspace(5))
+    hi = {
+        int(r["src_part"]): int(r["hi"])
+        for r in ev.groupBy("src_part").agg(F.max("lsn").alias("hi")).collect()
+    }
+    table = IceboxTable.create(
+        str(tmp_path / "t"), table_schema_for(ev.schema), num_buckets=4
+    )
+    # commit the whole ledger the way a streaming/pre-v2 writer would:
+    # epoch + offsets in the summary but NO lineage stats
+    merge_apply(
+        spark, table, ev,
+        summary={"epoch": 1, "offsets": {str(k): v for k, v in hi.items()}},
+    )
+    ck = str(tmp_path / "ck")
+    run_increment(spark, str(tmp_path / "ledger"), str(tmp_path / "t"), ck, salts=None)
+    recs = read_lineage(ck)
+    assert [r["epoch"] for r in recs] == [1]
+    assert recs[0]["repaired"] is True and recs[0]["rows"] == 0
