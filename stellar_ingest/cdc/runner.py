@@ -40,7 +40,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from ..lake.core import IceboxTable
-from ..lake.merge import merge_apply
+from ..lake.merge import delta_apply, merge_apply
 from ..schema import ensure_table_schema, table_schema_for
 from . import checkpoint as ckpt
 from . import lineage as lin
@@ -182,10 +182,22 @@ def run_increment(
     num_buckets: int = 16,
     crash_hook: Callable[[str], None] | None = None,
     format_version: int = 2,
+    mode: str = "cow",
+    fold_min_delta_files: int | None = None,
 ) -> list[dict]:
     """Drain the ledger in micro-batches (availableNow semantics);
     returns the lineage records emitted.  Resumable: state is entirely
-    in ``checkpoint_dir`` + the table's snapshot summaries."""
+    in ``checkpoint_dir`` + the table's snapshot summaries.
+
+    ``mode``: ``"cow"`` (copy-on-write MERGE — rewrites touched buckets,
+    best for backfill / read-heavy tables) or ``"mor"`` (merge-on-read —
+    appends resolved delta files, Θ(batch) per epoch regardless of table
+    size; the steady-state choice for sustained apply into large
+    tables).  ``fold_min_delta_files``: in MoR mode, after each epoch
+    fold buckets holding at least this many delta files back to one
+    resolved file (None = never; the operator compacts on their own
+    schedule).  Both modes produce byte-identical resolved state
+    (tests/test_replay.py proves fingerprint equality)."""
     from concurrent.futures import ThreadPoolExecutor
 
     hook = crash_hook or (lambda point: None)
@@ -280,7 +292,8 @@ def run_increment(
                 max_epochs is None or epochs_done + 1 < max_epochs
             ):
                 prefetched = pool.submit(list_segments, ledger_dir)
-            snapshot_id = merge_apply(
+            apply_fn = delta_apply if mode == "mor" else merge_apply
+            snapshot_id = apply_fn(
                 spark,
                 table,
                 valid,
@@ -319,6 +332,13 @@ def run_increment(
                 {"epoch": epoch, "offsets": new_offsets, "snapshot_id": snapshot_id},
             )
             hook("post_checkpoint")
+            if mode == "mor" and fold_min_delta_files:
+                # fold AFTER the checkpoint: the fold snapshot carries the
+                # epoch/offsets forward (maintenance summary), so a crash
+                # anywhere inside it leaves a consistent, resumable table
+                from ..lake.maintain import fold_deltas
+
+                fold_deltas(spark, table, min_delta_files=fold_min_delta_files)
             epochs_done += 1
     finally:
         pool.shutdown(wait=False, cancel_futures=True)

@@ -364,6 +364,9 @@ class IceboxTable:
                 "manifest": fname,
                 "files": len(entries),
                 "rows": sum(e["rows"] for e in entries),
+                # metadata-only fold policy input (merge-on-read): how
+                # many of this bucket's files are delta commits
+                "delta_files": sum(1 for e in entries if e.get("delta")),
             }
         _atomic_write_json(
             os.path.join(self.meta_dir, f"snap-{new_id}.manifest-list.json"),

@@ -79,6 +79,55 @@ def compact(
     )
 
 
+def delta_file_counts(table: IceboxTable) -> dict[int, int]:
+    """Per-bucket count of merge-on-read delta files in the current
+    snapshot.  Metadata-only: format-v2 manifest lists carry the count
+    per bucket ref; refs written before the field existed (or format v1)
+    fall back to reading that bucket's manifest."""
+    meta = table.metadata()
+    sid = meta["current_snapshot_id"]
+    if sid is None:
+        return {}
+    ml = table.manifest_list(sid)
+    out: dict[int, int] = {}
+    if ml is not None:
+        for b, ref in ml.items():
+            if "delta_files" in ref:
+                out[int(b)] = int(ref["delta_files"])
+            else:
+                out[int(b)] = sum(
+                    1
+                    for e in table._read_bucket_manifest(ref["manifest"])
+                    if e.get("delta")
+                )
+        return out
+    for e in table.files(sid):
+        if e.get("delta"):
+            out[int(e["bucket"])] = out.get(int(e["bucket"]), 0) + 1
+    return out
+
+
+def fold_deltas(
+    spark: SparkSession,
+    table: IceboxTable,
+    *,
+    min_delta_files: int = 2,
+) -> int | None:
+    """Compact merge-on-read deltas: rewrite every bucket holding at
+    least ``min_delta_files`` delta files down to one resolved file
+    (scan() resolves LWW, so the rewrite IS the fold — rewritten files
+    drop the delta flag and subsequent reads of those buckets skip the
+    resolve window entirely).  Fingerprint-equal by construction, fence
+    carried forward like any compaction.  Returns the new snapshot id,
+    or None when no bucket crossed the policy."""
+    target = sorted(
+        b for b, n in delta_file_counts(table).items() if n >= min_delta_files
+    )
+    if not target:
+        return None
+    return compact(spark, table, buckets=target, min_files_per_bucket=1)
+
+
 def expire_snapshots(table: IceboxTable, *, keep_last: int = 2) -> dict:
     """Drop all but the newest ``keep_last`` snapshots: delete their
     data files (unless still referenced by a kept snapshot) and their

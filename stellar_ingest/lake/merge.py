@@ -57,6 +57,20 @@ def _existing_as_changelog(existing: DataFrame) -> DataFrame:
     return existing.select(*cols)
 
 
+def _project_to_table(winners: DataFrame, table: IceboxTable) -> DataFrame:
+    """Resolved winner rows → the committed table schema (column order +
+    NULL-fill for columns evolved after this batch's payload)."""
+    struct = fields_to_struct(table.schema_fields())
+    return winners.select(
+        *[
+            F.col(f.name)
+            if f.name in winners.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in struct.fields
+        ]
+    )
+
+
 def merge_apply(
     spark: SparkSession,
     table: IceboxTable,
@@ -96,19 +110,11 @@ def merge_apply(
             return table.commit(added_files=[], summary=summary, operation="merge")
 
     existing = scan(spark, table, buckets=touched or [])
-    table_struct = fields_to_struct(table.schema_fields())
     union = batch.unionByName(
         _existing_as_changelog(existing), allowMissingColumns=True
     )
     winners = resolve(union, salts=salts)
-    # project to the committed table schema (order + NULL-fill for columns
-    # evolved after this batch's payload)
-    ordered = winners.select(
-        *[
-            F.col(f.name) if f.name in winners.columns else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in table_struct.fields
-        ]
-    )
+    ordered = _project_to_table(winners, table)
     new_files = write_data_files(ordered.withColumn("__bucket", bexpr), table)
     removed = {e["path"] for e in table.files(buckets=touched)}
     summary = dict(summary or {})
@@ -124,3 +130,44 @@ def merge_apply(
         # the added files)
         touched_buckets=touched,
     )
+
+
+def delta_apply(
+    spark: SparkSession,
+    table: IceboxTable,
+    batch: DataFrame,
+    *,
+    salts: int | None = None,
+    summary: dict | None = None,
+    summary_fn=None,
+) -> int:
+    """Merge-on-read commit: resolve the batch WITHIN itself and append
+    the winners as *delta* files — no table read, no bucket rewrite, no
+    touched-bucket discovery.  Epoch cost is Θ(batch) regardless of
+    table size, which is what sustained apply into a 10^10-event table
+    needs (copy-on-write rewrites every touched bucket, i.e. Θ(table)
+    per epoch once batches span all buckets).  Readers resolve LWW
+    across base+delta files at scan time (lake/read.py::resolve_stored);
+    ``lake/maintain.py::fold_deltas`` compacts buckets back to one
+    version per key on a file-count policy — exactly Iceberg's MoR +
+    rewrite_data_files split.
+
+    Correctness is the same associativity argument as copy-on-write:
+    stored rows are per-batch winners under the total order
+    (ts, lsn, src_part), and the read-time window takes the max of the
+    per-batch maxes.  Re-applying a batch is logically idempotent too —
+    duplicate winner rows are bit-identical, so whichever copy the
+    read-time window keeps, the resolved state is unchanged."""
+    winners = resolve(batch, salts=salts)
+    ordered = _project_to_table(winners, table)
+    meta = table.metadata()
+    bexpr = bucket_expr(meta["bucket_column"], meta["num_buckets"])
+    new_files = write_data_files(
+        ordered.withColumn("__bucket", bexpr), table, delta=True
+    )
+    summary = dict(summary or {})
+    if summary_fn is not None:
+        # the write above was the batch's action — observations attached
+        # upstream are filled, same contract as merge_apply
+        summary.update(summary_fn())
+    return table.commit(added_files=new_files, summary=summary, operation="delta")

@@ -9,18 +9,63 @@ pruning happened at the metadata level for free.
 Schema evolution: files written under an older schema simply lack the
 newer columns; reading with the *current* explicit schema makes Spark
 backfill them as NULL (additive-evolution read semantics).
+
+Merge-on-read: delta commits (lake/merge.py::delta_apply) append one
+winner row per key per epoch instead of rewriting buckets, so a key may
+carry several versions across a bucket's files.  ``scan`` resolves them
+with ONE ranking window over the LWW order (_ts, _lsn, _src_part) —
+applied ONLY to buckets that can actually hold multiple versions (they
+contain delta files spanning more than one commit).  Fully-compacted or
+copy-on-write buckets read plain, keeping the no-shuffle fast path.
+The resolve is correct because stored rows are per-batch LWW winners
+and "max by a total order" is associative: max(per-batch maxes) = max
+over all mutations (same argument as cdc/resolve.py salting).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..schema import KEY_COLS, ORDER_COLS
 from .core import IceboxTable
 
 #: engine-internal columns carried in every stored row (LWW ordering +
 #: lineage); user-facing reads drop them.
 META_COLS = ("_ts", "_lsn", "_src_part", "_op")
+
+
+def _commit_tag(entry: dict) -> str:
+    """Commit group of a data file — the per-commit directory component
+    of its path (``data/<tag>/__bucket=b/...``)."""
+    parts = entry["path"].split("/")
+    return parts[1] if len(parts) > 1 else entry["path"]
+
+
+def _needs_resolve(entries: list[dict]) -> bool:
+    """A bucket can hold multiple versions of a key iff it has delta
+    files AND its files span more than one commit (all files of one
+    commit are that batch's LWW winners — unique per key by
+    construction, even across the write fan-out's multiple files)."""
+    if not any(e.get("delta") for e in entries):
+        return False
+    return len({_commit_tag(e) for e in entries}) > 1
+
+
+def resolve_stored(df: DataFrame) -> DataFrame:
+    """Read-time LWW over stored rows: newest version per key by the
+    total order (_ts, _lsn, _src_part).  One window — Exchange on
+    hash(conv_id, turn_idx) + in-partition sort; per-key fan-in is
+    bounded by the delta-commit count since the last fold, so no salting
+    is needed on the read side."""
+    w = Window.partitionBy(*KEY_COLS).orderBy(*[F.col(c).desc() for c in ORDER_COLS])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def scan(
@@ -31,8 +76,8 @@ def scan(
     buckets: list[int] | None = None,
 ) -> DataFrame:
     """Full-fidelity scan of one snapshot (includes tombstones + meta
-    columns).  ``snapshot_id=None`` → current; pass an older id for time
-    travel."""
+    columns), merge-on-read resolved.  ``snapshot_id=None`` → current;
+    pass an older id for time travel."""
     meta = table.metadata()
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
     if sid is None:
@@ -44,10 +89,26 @@ def scan(
         if snapshot_id is None
         else table.schema_struct(table.snapshot(sid)["schema_id"])
     )
-    paths = table.file_paths(sid, buckets)
-    if not paths:
+    entries = table.files(sid, buckets)
+    if not entries:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    by_bucket: dict[int, list[dict]] = {}
+    for e in entries:
+        by_bucket.setdefault(int(e["bucket"]), []).append(e)
+    plain: list[str] = []
+    multi: list[str] = []
+    for es in by_bucket.values():
+        dest = multi if _needs_resolve(es) else plain
+        dest += [os.path.join(table.root, e["path"]) for e in es]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(spark.read.schema(schema).parquet(*plain))
+    if multi:
+        parts.append(resolve_stored(spark.read.schema(schema).parquet(*multi)))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def read_changes(

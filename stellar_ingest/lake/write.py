@@ -54,10 +54,14 @@ def write_data_files(
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     shuffle_partitions: int | None = None,
     salt_n: int | None = None,
+    delta: bool = False,
 ) -> list[dict]:
     """Materialize ``df`` (must carry a ``__bucket`` int column) as
     immutable parquet under a fresh commit dir; returns manifest entries
-    ``{path, bucket, rows}``.  This is an action (the one big job)."""
+    ``{path, bucket, rows}``.  This is an action (the one big job).
+    ``delta=True`` marks the entries as merge-on-read delta files —
+    readers resolve LWW across a bucket's files when deltas are present
+    (lake/read.py)."""
     tag = f"snap-pending-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table.data_dir, tag)
     salt = F.pmod(
@@ -89,9 +93,10 @@ def write_data_files(
             rows = pq.ParquetFile(full).metadata.num_rows
             if rows == 0:
                 continue
-            entries.append(
-                {"path": os.path.relpath(full, table.root), "bucket": b, "rows": rows}
-            )
+            entry = {"path": os.path.relpath(full, table.root), "bucket": b, "rows": rows}
+            if delta:
+                entry["delta"] = True
+            entries.append(entry)
     return entries
 
 

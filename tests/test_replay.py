@@ -285,3 +285,134 @@ def test_schema_evolution_recorded(spark, golden):
     live = read_live(spark, t)
     assert live.filter(F.col("tool_version").isNotNull()).count() > 0
     assert live.filter(F.col("tool").isNull()).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read mode: byte-identical to copy-on-write, Θ(batch) commits
+# ---------------------------------------------------------------------------
+
+
+def test_mor_mode_reconverges_to_cow_golden(spark, ledger, golden, tmp_path):
+    """Incremental merge-on-read ingest reaches the SAME resolved state
+    as the copy-on-write golden (byte-identical fingerprint), while
+    committing only delta appends."""
+    table_root = str(tmp_path / "t")
+    recs = run_increment(
+        spark, ledger["dir"], table_root, str(tmp_path / "ck"),
+        max_segments_per_part=4, salts=None, mode="mor",
+    )
+    assert len({r["epoch"] for r in recs}) > 1
+    t = IceboxTable(table_root)
+    assert all(s["operation"] == "delta" for s in t.snapshots())
+    # the resolved scan really is merge-on-read: a ranking window appears
+    plan = scan(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
+    assert states_equal(
+        read_live(spark, t), read_live(spark, IceboxTable(golden["table_root"]))
+    )
+
+
+def test_mor_fold_restores_plain_reads(spark, ledger, golden, tmp_path):
+    """fold_deltas compacts every delta bucket to one resolved file:
+    fingerprint unchanged, delta counts zero, and the scan plan loses
+    the resolve window (the no-shuffle fast path is back)."""
+    from stellar_ingest.lake.maintain import delta_file_counts, fold_deltas
+
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    run_increment(
+        spark, ledger["dir"], table_root, ck,
+        max_segments_per_part=4, salts=None, mode="mor",
+    )
+    t = IceboxTable(table_root)
+    assert sum(delta_file_counts(t).values()) > 0
+    sid = fold_deltas(spark, t, min_delta_files=1)
+    assert sid is not None
+    assert sum(delta_file_counts(t).values()) == 0
+    assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
+    plan = scan(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # ingest resumes cleanly across the fold snapshot (fence carried)
+    run_increment(spark, ledger["dir"], table_root, ck, salts=None, mode="mor")
+    assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
+
+
+def test_mor_inloop_fold_policy_reconverges(spark, ledger, golden, tmp_path):
+    """The runner's fold_min_delta_files policy interleaves folds with
+    delta epochs; the final state is still byte-identical."""
+    table_root = str(tmp_path / "t")
+    run_increment(
+        spark, ledger["dir"], table_root, str(tmp_path / "ck"),
+        max_segments_per_part=4, salts=None, mode="mor", fold_min_delta_files=2,
+    )
+    t = IceboxTable(table_root)
+    ops = [s["operation"] for s in t.snapshots()]
+    assert "delta" in ops and "replace" in ops  # both kinds really happened
+    assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
+
+
+@pytest.mark.parametrize(
+    "crash_at", ["pre_evolve", "pre_merge", "post_snapshot", "post_checkpoint"]
+)
+def test_mor_crash_injection_reconverges(spark, ledger, golden, tmp_path, crash_at):
+    """The exactly-once fence protects merge-on-read commits identically:
+    crash at every boundary, restart cold, reconverge byte-identically."""
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    run_increment(
+        spark, ledger["dir"], table_root, ck,
+        max_segments_per_part=2, max_epochs=1, salts=None, mode="mor",
+    )
+
+    def hook(point):
+        if point == crash_at:
+            raise _Boom(point)
+
+    with pytest.raises(_Boom):
+        run_increment(
+            spark, ledger["dir"], table_root, ck,
+            max_segments_per_part=6, salts=None, mode="mor", crash_hook=hook,
+        )
+    run_increment(spark, ledger["dir"], table_root, ck, salts=None, mode="mor")
+    t = IceboxTable(table_root)
+    assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
+    from stellar_ingest.cdc.lineage import read_lineage
+
+    epochs = sorted({r["epoch"] for r in read_lineage(ck)})
+    assert epochs == list(range(1, max(epochs) + 1))
+
+
+def test_mor_read_changes_between_snapshots(spark, ledger, tmp_path):
+    """Incremental consumer reads work over merge-on-read tables: scan
+    resolves first, then the HWM filter applies — net-effect semantics
+    identical to the copy-on-write path."""
+    from stellar_ingest.lake.read import read_changes
+
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    run_increment(
+        spark, ledger["dir"], table_root, ck,
+        max_segments_per_part=3, max_epochs=2, salts=None, mode="mor",
+    )
+    t = IceboxTable(table_root)
+    s_base = t.metadata()["current_snapshot_id"]
+    base_offsets = {
+        int(k): int(v)
+        for k, v in t.snapshot(s_base)["summary"]["offsets"].items()
+    }
+    run_increment(spark, ledger["dir"], table_root, ck, salts=None, mode="mor")
+
+    rows = read_changes(spark, t, s_base).select(
+        "conv_id", "turn_idx", "_src_part", "_lsn", "_op"
+    ).collect()
+    pdf = ledger["events"].drop_duplicates(subset=["src_part", "lsn"])
+    pdf = pdf.sort_values(["ts", "lsn", "src_part"], kind="mergesort")
+    winners = pdf.groupby(["conv_id", "turn_idx"], as_index=False).tail(1)
+    exp_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in winners.itertuples()
+        if r.lsn > base_offsets.get(r.src_part, -1)
+    }
+    assert {(r["conv_id"], r["turn_idx"]) for r in rows} == exp_keys
+    assert any(r["_op"] == "D" for r in rows)
