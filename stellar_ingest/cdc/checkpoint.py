@@ -18,6 +18,9 @@ def _norm(ck: dict) -> dict:
         "epoch": int(ck.get("epoch", 0)),
         "offsets": {int(k): int(v) for k, v in (ck.get("offsets") or {}).items()},
         "snapshot_id": ck.get("snapshot_id"),
+        # advisory skew hint (salting fan-out for the next epoch) — not
+        # part of the fencing triple, correctness never depends on it
+        "salt_hint": ck.get("salt_hint"),
     }
 
 
@@ -41,6 +44,7 @@ def save(checkpoint_dir: str, ck: dict) -> None:
         "epoch": int(ck["epoch"]),
         "offsets": {str(k): int(v) for k, v in ck["offsets"].items()},
         "snapshot_id": ck["snapshot_id"],
+        "salt_hint": ck.get("salt_hint"),
     }
     with open(tmp, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)

@@ -29,23 +29,33 @@ def _desc_order():
     return [F.col("ts").desc(), F.col("lsn").desc(), F.col("src_part").desc()]
 
 
-def lww_winners(df: DataFrame, *, salts: int | None = None) -> DataFrame:
+def lww_winners(
+    df: DataFrame, *, salts: int | None = None, rn_observation=None
+) -> DataFrame:
     """Reduce a deduped changelog batch to one winning mutation per
-    (conv_id, turn_idx), keeping changelog column shape."""
+    (conv_id, turn_idx), keeping changelog column shape.
+
+    ``rn_observation``: optional ``pyspark.sql.Observation`` filled with
+    ``max_rn`` — the max per-key mutation count the ranking window saw
+    (per (key, salt) when salted, so scale by ``salts`` to estimate the
+    true per-key max).  This is the FREE hot-key census: the window
+    already numbers every key's rows, so observing ``max(__rn)`` costs
+    nothing extra — no sample pass, no second scan (the runner uses it
+    to decide the NEXT epoch's salting; skew persists across adjacent
+    batches)."""
     if salts and salts > 1:
         salt = F.pmod(F.xxhash64("src_part", "lsn"), F.lit(int(salts)))
         w1 = Window.partitionBy("conv_id", "turn_idx", salt).orderBy(*_desc_order())
-        df = (
-            df.withColumn("__rn", F.row_number().over(w1))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        ranked = df.withColumn("__rn", F.row_number().over(w1))
+        if rn_observation is not None:
+            ranked = ranked.observe(rn_observation, F.max("__rn").alias("max_rn"))
+            rn_observation = None
+        df = ranked.filter(F.col("__rn") == 1).drop("__rn")
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(*_desc_order())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    if rn_observation is not None:
+        ranked = ranked.observe(rn_observation, F.max("__rn").alias("max_rn"))
+    return ranked.filter(F.col("__rn") == 1).drop("__rn")
 
 
 def to_table_rows(winners: DataFrame) -> DataFrame:
@@ -70,6 +80,10 @@ def to_table_rows(winners: DataFrame) -> DataFrame:
     return winners.select(*cols)
 
 
-def resolve(df: DataFrame, *, salts: int | None = None) -> DataFrame:
+def resolve(
+    df: DataFrame, *, salts: int | None = None, rn_observation=None
+) -> DataFrame:
     """dedupe'd changelog batch → stored-table-shaped winner rows."""
-    return to_table_rows(lww_winners(df, salts=salts))
+    return to_table_rows(
+        lww_winners(df, salts=salts, rn_observation=rn_observation)
+    )

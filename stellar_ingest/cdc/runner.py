@@ -44,7 +44,7 @@ from ..lake.merge import delta_apply, merge_apply
 from ..schema import ensure_table_schema, table_schema_for
 from . import checkpoint as ckpt
 from . import lineage as lin
-from .skew import plan_salts
+from .skew import DEFAULT_HOT_THRESHOLD, DEFAULT_SALTS
 from .source import list_segments, read_batch, select_batch
 from .validate import split_valid, validity_predicate
 
@@ -184,6 +184,7 @@ def run_increment(
     format_version: int = 2,
     mode: str = "cow",
     fold_min_delta_files: int | None = None,
+    salt_threshold: int = DEFAULT_HOT_THRESHOLD,
 ) -> list[dict]:
     """Drain the ledger in micro-batches (availableNow semantics);
     returns the lineage records emitted.  Resumable: state is entirely
@@ -267,7 +268,20 @@ def run_increment(
             else:
                 ensure_table_schema(table, batch_table_schema, hook=hook)
 
-            batch_salts = plan_salts(valid) if salts == "auto" else salts
+            # salts="auto": decide THIS epoch's salting from the LAST
+            # epoch's observed per-key max (skew persists across adjacent
+            # batches), and observe this epoch's max for free on the LWW
+            # window itself — no sample pass, the ledger is scanned
+            # exactly once per epoch under every salts config.  The hint
+            # rides the checkpoint so restarts keep the decision.
+            auto_salt = salts == "auto"
+            if auto_salt:
+                from pyspark.sql import Observation
+
+                batch_salts = ck.get("salt_hint") or None
+                rn_obs = Observation()
+            else:
+                batch_salts, rn_obs = salts, None
 
             epoch = ck["epoch"] + 1
             hook("pre_merge")
@@ -303,8 +317,19 @@ def run_increment(
                     "offsets": {str(k): int(v) for k, v in new_offsets.items()},
                 },
                 summary_fn=_lineage_summary,
+                rn_observation=rn_obs,
             )
             hook("post_snapshot")
+            # a zero-valid-row epoch carries the previous hint (no new
+            # information); otherwise re-decide from this epoch's max
+            salt_hint = batch_salts if auto_salt else None
+            if auto_salt and sum(p["rows"] for p in stash["pstats"]) > 0:
+                # observation filled by the epoch's own action (guarded:
+                # a zero-valid-row COW epoch short-circuits before the
+                # resolve window, leaving the observation empty)
+                per_salt_max = int(rn_obs.get.get("max_rn") or 0)
+                est_max = per_salt_max * int(batch_salts or 1)
+                salt_hint = DEFAULT_SALTS if est_max >= salt_threshold else None
             # dead-letter sink: quarantined rows are persisted, never silently
             # dropped (validate.py contract).  Costs a second ledger scan only
             # on epochs that actually had bad rows; overwrite mode keeps
@@ -329,7 +354,12 @@ def run_increment(
             )
             ckpt.save(
                 checkpoint_dir,
-                {"epoch": epoch, "offsets": new_offsets, "snapshot_id": snapshot_id},
+                {
+                    "epoch": epoch,
+                    "offsets": new_offsets,
+                    "snapshot_id": snapshot_id,
+                    "salt_hint": salt_hint,
+                },
             )
             hook("post_checkpoint")
             if mode == "mor" and fold_min_delta_files:

@@ -8,9 +8,12 @@ salting (SURVEY.md §4).  Three pieces:
   fan out across tasks unconditionally, costs nothing when unskewed.
 - resolve-side salt: two-phase window (cdc/resolve.py) — an extra
   shuffle, so it is gated by this census.
-- census: approximate, on a sample — an exact per-key count would cost
-  as much as the window it protects.  At 10^10 events a 0.1% sample is
-  10^7 rows; any key hot enough to skew a task shows up in it.
+- census: the RUNNER's census is free — it observes ``max(row_number)``
+  on the LWW window itself (cdc/resolve.py ``rn_observation``) and
+  decides the NEXT epoch's salting from it (skew persists across
+  adjacent batches), so ``salts="auto"`` costs no extra scan.  The
+  sampled census below remains as a standalone utility for one-shot
+  analyses where no window is about to run anyway.
 """
 
 from __future__ import annotations

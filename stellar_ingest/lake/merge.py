@@ -79,6 +79,7 @@ def merge_apply(
     salts: int | None = None,
     summary: dict | None = None,
     summary_fn=None,
+    rn_observation=None,
 ) -> int:
     """Apply one changelog batch (validated + HWM-filtered) as a
     copy-on-write MERGE; returns the committed snapshot id.
@@ -113,7 +114,7 @@ def merge_apply(
     union = batch.unionByName(
         _existing_as_changelog(existing), allowMissingColumns=True
     )
-    winners = resolve(union, salts=salts)
+    winners = resolve(union, salts=salts, rn_observation=rn_observation)
     ordered = _project_to_table(winners, table)
     new_files = write_data_files(ordered.withColumn("__bucket", bexpr), table)
     removed = {e["path"] for e in table.files(buckets=touched)}
@@ -140,6 +141,7 @@ def delta_apply(
     salts: int | None = None,
     summary: dict | None = None,
     summary_fn=None,
+    rn_observation=None,
 ) -> int:
     """Merge-on-read commit: resolve the batch WITHIN itself and append
     the winners as *delta* files — no table read, no bucket rewrite, no
@@ -158,7 +160,7 @@ def delta_apply(
     per-batch maxes.  Re-applying a batch is logically idempotent too —
     duplicate winner rows are bit-identical, so whichever copy the
     read-time window keeps, the resolved state is unchanged."""
-    winners = resolve(batch, salts=salts)
+    winners = resolve(batch, salts=salts, rn_observation=rn_observation)
     ordered = _project_to_table(winners, table)
     meta = table.metadata()
     bexpr = bucket_expr(meta["bucket_column"], meta["num_buckets"])

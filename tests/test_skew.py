@@ -85,3 +85,70 @@ def test_salted_ingest_matches_unsalted(spark, tmp_path):
     live = read_live(spark, IceboxTable(str(tmp_path / "t_salted")))
     whale_row = live.filter(F.col("conv_id") == "whale").collect()
     assert len(whale_row) == 1 and whale_row[0]["text"] == "w/v999"
+
+
+def _write_whale_ledger(spark, df, ledger: str):
+    (
+        df.withColumn("part", F.col("src_part"))
+        .withColumn("seg", (F.col("lsn") / 500).cast("int"))
+        .repartition("part", "seg")
+        .sortWithinPartitions("lsn")
+        .write.partitionBy("part", "seg")
+        .parquet(ledger)
+    )
+
+
+def test_auto_salt_hint_engages_from_window_observation(spark, tmp_path):
+    """salts='auto' decides epoch e+1's salting from epoch e's per-key
+    max, observed for free on the LWW window itself — the hint lands in
+    the checkpoint after the hot epoch and the salted continuation still
+    reconverges with a plain run."""
+    from stellar_ingest.cdc import checkpoint as ckpt
+    from stellar_ingest.cdc.skew import DEFAULT_SALTS
+
+    df = _whale_ledger_df(spark, 2000)
+    ledger = str(tmp_path / "ledger")
+    _write_whale_ledger(spark, df, ledger)
+    ck = str(tmp_path / "ck")
+    run_increment(
+        spark, ledger, str(tmp_path / "t"), ck,
+        max_segments_per_part=1, max_epochs=1, salts="auto",
+        num_buckets=8, salt_threshold=400,
+    )
+    # epoch 1 saw the whale (500 mutations on one key ≥ 400) → hint armed
+    assert ckpt.load(ck)["salt_hint"] == DEFAULT_SALTS
+    run_increment(
+        spark, ledger, str(tmp_path / "t"), ck,
+        max_segments_per_part=1, salts="auto", num_buckets=8, salt_threshold=400,
+    )
+    run_increment(
+        spark, ledger, str(tmp_path / "t_plain"), str(tmp_path / "ck_plain"),
+        max_segments_per_part=1, salts=None, num_buckets=8,
+    )
+    assert table_fingerprint(scan(spark, IceboxTable(str(tmp_path / "t")))) == \
+        table_fingerprint(scan(spark, IceboxTable(str(tmp_path / "t_plain"))))
+
+
+def test_auto_salts_costs_no_extra_job(spark, tmp_path):
+    """The round-2 census ran sample().groupBy().collect() as its own
+    per-epoch action; the observe-based census must add ZERO jobs —
+    salts='auto' and salts=None run the identical job count."""
+    df = _whale_ledger_df(spark, 2000)
+    ledger = str(tmp_path / "ledger")
+    _write_whale_ledger(spark, df, ledger)
+    sc = spark.sparkContext
+
+    def jobs_for(salts, tag):
+        sc.setJobGroup(tag, tag)
+        try:
+            run_increment(
+                spark, ledger, str(tmp_path / f"t_{tag}"), str(tmp_path / f"ck_{tag}"),
+                max_segments_per_part=1, salts=salts, num_buckets=8,
+            )
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    n_auto = jobs_for("auto", "grp_auto")
+    n_plain = jobs_for(None, "grp_plain")
+    assert n_auto == n_plain
