@@ -17,6 +17,7 @@ Expiry is pure driver-side metadata + file deletion — no Spark job.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -128,20 +129,41 @@ def fold_deltas(
     return compact(spark, table, buckets=target, min_files_per_bucket=1)
 
 
-def expire_snapshots(table: IceboxTable, *, keep_last: int = 2) -> dict:
-    """Drop all but the newest ``keep_last`` snapshots: delete their
-    data files (unless still referenced by a kept snapshot) and their
-    manifests (unless shared by reference — format v2 carries untouched
-    buckets' manifests across snapshots).  Time travel remains valid
-    within the retention window; the current snapshot is always kept.
+def expire_snapshots(
+    table: IceboxTable,
+    *,
+    keep_last: int = 2,
+    older_than_ms: int | None = None,
+    now_ms: int | None = None,
+) -> dict:
+    """Drop old snapshots: delete their data files (unless still
+    referenced by a kept snapshot) and their manifests (unless shared by
+    reference — format v2 carries untouched buckets' manifests across
+    snapshots).  Time travel remains valid within the retention window;
+    the current snapshot is always kept.
+
+    Retention is the Iceberg pair: a snapshot expires only if it is
+    BOTH beyond the newest ``keep_last`` AND (when ``older_than_ms`` is
+    given) older than ``now - older_than_ms`` — time-based policies
+    never drop below the keep_last floor, and keep_last alone behaves
+    as before.  ``now_ms`` is a test seam.
 
     Driver-side only; returns {snapshots_expired, data_files_deleted,
     manifests_deleted}."""
     meta = table.metadata()
     snaps = meta["snapshots"]
-    if len(snaps) <= keep_last:
+    cut = max(0, len(snaps) - max(1, keep_last))
+    if older_than_ms is not None:
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        cutoff_ts = now - int(older_than_ms)
+        age_cut = next(
+            (i for i, s in enumerate(snaps) if s["timestamp_ms"] >= cutoff_ts),
+            len(snaps),
+        )
+        cut = min(cut, age_cut)
+    if cut <= 0:
         return {"snapshots_expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
-    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    kept, expired = snaps[cut:], snaps[:cut]
     assert kept[-1]["snapshot_id"] == meta["current_snapshot_id"]
 
     def _manifest_names(sid: int) -> set[str]:
@@ -199,4 +221,76 @@ def expire_snapshots(table: IceboxTable, *, keep_last: int = 2) -> dict:
         "snapshots_expired": len(expired),
         "data_files_deleted": n_data,
         "manifests_deleted": n_manifest,
+    }
+
+
+def gc_orphans(
+    table: IceboxTable,
+    *,
+    grace_ms: int = 24 * 3600 * 1000,
+    now_ms: int | None = None,
+) -> dict:
+    """Delete files referenced by NO snapshot — the third leg of the
+    Iceberg maintenance triad (remove_orphan_files analogue).
+
+    Orphans come from crashes between ``write_data_files`` and
+    ``commit``: the data landed under ``data/snap-pending-*`` but no
+    snapshot references it, so neither commit retries nor
+    ``expire_snapshots`` (which only deletes files KNOWN to expired
+    snapshots) will ever reclaim it.  Candidates must be older than
+    ``grace_ms`` — an in-flight commit's files are always younger than
+    any sane grace window, so the single-writer protocol stays safe.
+
+    Driver-side only (a directory walk + metadata diff); at object-store
+    scale this is the same listing job Iceberg's procedure runs.
+    Returns {data_files_deleted, manifests_deleted, bytes_reclaimed}."""
+    now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+    cutoff_s = (now - int(grace_ms)) / 1000.0
+    meta = table.metadata()
+    snap_ids = [s["snapshot_id"] for s in meta["snapshots"]]
+
+    live_paths: set[str] = set()
+    live_manifests: set[str] = set()
+    for sid in snap_ids:
+        live_paths |= {e["path"] for e in table.files(sid)}
+        ml = table.manifest_list(sid)
+        if ml is not None:
+            live_manifests |= {ref["manifest"] for ref in ml.values()}
+            live_manifests.add(f"snap-{sid}.manifest-list.json")
+        else:
+            live_manifests.add(f"snap-{sid}.manifest.json")
+
+    n_data = n_manifest = reclaimed = 0
+    for root, _dirs, files in os.walk(table.data_dir):
+        for fn in files:
+            full = os.path.join(root, fn)
+            rel = os.path.relpath(full, table.root)
+            if rel in live_paths or not fn.endswith(".parquet"):
+                continue
+            if os.path.getmtime(full) >= cutoff_s:
+                continue  # grace: possibly an in-flight commit
+            reclaimed += os.path.getsize(full)
+            os.remove(full)
+            n_data += 1
+    # prune now-empty commit/bucket dirs (cosmetic, keeps listings tight)
+    for root, dirs, files in os.walk(table.data_dir, topdown=False):
+        if root != table.data_dir and not dirs and not files:
+            os.rmdir(root)
+    # manifests whose snapshot vanished without expiry bookkeeping
+    # (crash between manifest write and the version-hint swap)
+    for fn in sorted(os.listdir(table.meta_dir)):
+        if not (fn.startswith("snap-") and fn.endswith(".json")):
+            continue
+        if fn in live_manifests:
+            continue
+        full = os.path.join(table.meta_dir, fn)
+        if os.path.getmtime(full) >= cutoff_s:
+            continue
+        reclaimed += os.path.getsize(full)
+        os.remove(full)
+        n_manifest += 1
+    return {
+        "data_files_deleted": n_data,
+        "manifests_deleted": n_manifest,
+        "bytes_reclaimed": int(reclaimed),
     }

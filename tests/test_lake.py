@@ -214,3 +214,77 @@ def test_expire_with_shared_manifests_across_expired_snapshots(spark, tmp_table)
     # idempotent re-run: nothing left to expire
     again = expire_snapshots(t, keep_last=1)
     assert again["snapshots_expired"] == 0
+
+
+def test_gc_orphans_reclaims_crash_leftovers_only(spark, tmp_table):
+    """A crash between write_data_files and commit leaves data files no
+    snapshot references; gc_orphans deletes them (past the grace window)
+    while every committed file and the table state stay untouched."""
+    import os
+    import time as _time
+
+    from stellar_ingest.lake.maintain import gc_orphans
+    from stellar_ingest.lake.write import write_data_files
+    from stellar_ingest.verify.fingerprint import table_fingerprint
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=4)
+    append(spark, t, _rows(spark, [
+        ("c1", 0, "user", "hi", None, 1, 1, 0, "U"),
+        ("c2", 0, "user", "ho", None, 2, 2, 0, "U"),
+    ]))
+    fp = table_fingerprint(scan(spark, t))
+    # simulated crash: files written, commit never happened
+    dfb = _rows(spark, [("c9", 0, "user", "orphan", None, 9, 9, 0, "U")]).withColumn(
+        "__bucket", bucket_expr("conv_id", 4)
+    )
+    orphans = write_data_files(dfb, t)
+    assert orphans
+    # inside the grace window nothing is deleted
+    res = gc_orphans(t, grace_ms=3600_000)
+    assert res["data_files_deleted"] == 0
+    # past the grace window the orphans (and only they) go
+    future = int((_time.time() + 7200) * 1000)
+    res = gc_orphans(t, grace_ms=3600_000, now_ms=future)
+    assert res["data_files_deleted"] == len(orphans)
+    for e in orphans:
+        assert not os.path.exists(os.path.join(t.root, e["path"]))
+    assert table_fingerprint(scan(spark, t)) == fp
+    # idempotent: second pass finds nothing
+    assert gc_orphans(t, grace_ms=3600_000, now_ms=future)["data_files_deleted"] == 0
+
+
+def test_expire_snapshots_older_than(spark, tmp_table):
+    """Age-based retention: only snapshots older than the window AND
+    beyond the keep_last floor expire."""
+    from stellar_ingest.lake.maintain import expire_snapshots
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=4)
+    for i in range(4):
+        append(spark, t, _rows(spark, [(f"c{i}", 0, "user", f"v{i}", None, i, i + 1, 0, "U")]))
+    snaps = t.snapshots()
+    assert len(snaps) == 4
+    # cutoff newer than every snapshot, keep_last=1: age alone would
+    # expire 3, floor keeps the last 1 → 3 expired
+    now = snaps[-1]["timestamp_ms"] + 10_000
+    res = expire_snapshots(t, keep_last=1, older_than_ms=5_000, now_ms=now)
+    assert res["snapshots_expired"] == 3
+    assert [s["snapshot_id"] for s in t.snapshots()] == [snaps[-1]["snapshot_id"]]
+    # floor dominates: nothing older than a huge window
+    res = expire_snapshots(t, keep_last=1, older_than_ms=10**12, now_ms=now)
+    assert res["snapshots_expired"] == 0
+
+
+def test_expire_snapshots_older_than_respects_young_snapshots(spark, tmp_table):
+    """Snapshots inside the age window survive even beyond keep_last."""
+    from stellar_ingest.lake.maintain import expire_snapshots
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=4)
+    for i in range(3):
+        append(spark, t, _rows(spark, [(f"c{i}", 0, "user", f"v{i}", None, i, i + 1, 0, "U")]))
+    snaps = t.snapshots()
+    # pretend "now" is immediately after the last commit; a 10-minute
+    # window keeps all three even though keep_last=1 would drop two
+    now = snaps[-1]["timestamp_ms"] + 1
+    res = expire_snapshots(t, keep_last=1, older_than_ms=600_000, now_ms=now)
+    assert res["snapshots_expired"] == 0
+    assert len(t.snapshots()) == 3
