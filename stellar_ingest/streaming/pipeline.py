@@ -17,9 +17,13 @@ proves for the batch loop).
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cdc import lineage as lin
 from ..cdc.source import batch_schema, list_segments
 from ..cdc.validate import split_valid
 from ..lake.core import IceboxTable
@@ -79,7 +83,8 @@ def run_streaming(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        valid, _bad = split_valid(batch_df)
+        t0 = time.monotonic()
+        valid, bad = split_valid(batch_df)
         table = IceboxTable(table_root)
         if not table.exists():
             IceboxTable.create(
@@ -95,11 +100,52 @@ def run_streaming(
         epoch = int(snap["summary"].get("epoch", 0)) if snap else 0
         if snap and int(snap["summary"].get("ss_batch_id", -1)) >= batch_id:
             return  # epoch fence: this SS batch already committed
-        merge_apply(
+        # validation audit parity with the batch runner (cdc/runner.py):
+        # quarantined rows persist to the dead-letter sink and every
+        # batch emits lineage.  The adapter pays two small extra actions
+        # here (SS already materialized the micro-batch; the canonical
+        # batch loop gets the same stats for free via observe()).
+        pstats = [
+            {
+                "src_part": int(r["src_part"]),
+                "lsn_from": int(r["lsn_from"]),
+                "lsn_to": int(r["lsn_to"]),
+                "rows": int(r["rows"]),
+            }
+            for r in valid.groupBy("src_part")
+            .agg(
+                F.min("lsn").alias("lsn_from"),
+                F.max("lsn").alias("lsn_to"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            .collect()
+        ]
+        n_bad = bad.count()
+        if not pstats and n_bad == 0:
+            # availableNow + watermarked dedupe emits a trailing empty
+            # flush batch — don't mint an empty snapshot/lineage for it
+            return
+        if n_bad:
+            bad.write.mode("overwrite").parquet(
+                os.path.join(checkpoint_dir, "quarantine", f"ss_batch={batch_id}")
+            )
+        sid = merge_apply(
             spark,
             table,
             valid,
-            summary={"epoch": epoch + 1, "ss_batch_id": batch_id},
+            summary={
+                "epoch": epoch + 1,
+                "ss_batch_id": batch_id,
+                "lineage": {"partition_stats": pstats, "quarantined": n_bad},
+            },
+        )
+        lin.emit(
+            checkpoint_dir,
+            epoch=epoch + 1,
+            snapshot_id=sid,
+            partition_stats=pstats,
+            wall_ms=(time.monotonic() - t0) * 1000.0,
+            quarantined=n_bad,
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

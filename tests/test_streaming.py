@@ -52,3 +52,44 @@ def test_streaming_restart_is_idempotent(spark, small_ledger):
         num_buckets=4,
     )
     assert len(t.snapshots()) == before
+
+def test_streaming_quarantine_and_lineage_parity(spark, tmp_path):
+    """The SS adapter persists quarantined rows to the dead-letter sink
+    and emits per-batch lineage, matching the batch runner's audit
+    contract — a user who picks the SS adapter loses nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_ingest.cdc.lineage import read_lineage
+
+    from .helpers import ts as _ts
+
+    seg = tmp_path / "ledger" / "part=0" / "seg=0"
+    seg.mkdir(parents=True)
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "src_part": pa.array([0, 0, 0], pa.int32()),
+            "op": ["I", None, "I"],  # lsn 2: NULL op → quarantine
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": ["user"] * 3,
+            "text": ["ok1", "bad", "ok2"],
+            "ts": pa.array([_ts(1), _ts(2), _ts(3)], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, seg / "s.parquet")
+    ck = str(tmp_path / "ck")
+    run_streaming(spark, str(tmp_path / "ledger"), str(tmp_path / "t"), ck, num_buckets=4)
+    live = read_live(spark, IceboxTable(str(tmp_path / "t")))
+    assert {r["text"] for r in live.collect()} == {"ok1", "ok2"}
+    dead = spark.read.parquet(f"{ck}/quarantine/ss_batch=0")
+    assert {r["lsn"] for r in dead.collect()} == {2}
+    recs = read_lineage(ck)
+    assert len(recs) == 1
+    assert recs[0]["epoch"] == 1 and recs[0]["quarantined"] == 1
+    assert recs[0]["rows"] == 2 and recs[0]["lsn_from"] == 1 and recs[0]["lsn_to"] == 3
+    # the snapshot summary carries the same stats (fence-repair parity
+    # with the batch runner's torn-commit path)
+    summ = IceboxTable(str(tmp_path / "t")).current_snapshot()["summary"]
+    assert summ["lineage"]["quarantined"] == 1
