@@ -100,6 +100,38 @@ def bench_cdc(spark, n_convs: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_steady(spark) -> dict:
+    """Bounded steady-state section (the dedicated full-scale run lives
+    in bench/steady_state.py; BENCH/BASELINE.md records it): preload a
+    table, then sustained update epochs in copy-on-write vs
+    merge-on-read.  bench.py (a top-level module) shadows the bench/
+    package name, hence the by-path import."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "steady_state",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench", "steady_state.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    n_convs = int(os.environ.get("STELLAR_BENCH_STEADY_CONVS", "300000"))
+    res = mod.run_steady_state(
+        spark,
+        n_convs=n_convs,
+        inc_events=int(os.environ.get("STELLAR_BENCH_STEADY_INC", "200000")),
+        inc_epochs=int(os.environ.get("STELLAR_BENCH_STEADY_EPOCHS", "4")),
+        modes=(("cow", "cow", None), ("mor", "mor", None)),
+    )
+    return {
+        "cdc_steady_table_events": res["preload_events"],
+        "cdc_steady_inc_events": res["inc_events"],
+        "cdc_steady_epochs": res["inc_epochs"],
+        "cdc_steady_cow_eps": res["mean_events_per_sec"]["cow"],
+        "cdc_steady_mor_eps": res["mean_events_per_sec"]["mor"],
+        "cdc_steady_mor_over_cow": res["mor_over_cow"],
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -118,6 +150,7 @@ def main():
 
     queries = bench_queries(spark, sf_dir)
     cdc = bench_cdc(spark, n_convs)
+    cdc.update(bench_steady(spark))
 
     total = round(sum(queries.values()) + cdc["cdc_wall_sec"], 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

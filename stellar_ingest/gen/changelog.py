@@ -224,3 +224,64 @@ def generate_ledger(
     ev = gen_events(spark, n_convs, parts=parts, seed=seed)
     write_ledger(ev, out_dir, n_convs=n_convs, seg_span=seg_span)
     return ev
+
+
+def gen_update_stream(
+    spark: SparkSession,
+    n_convs: int,
+    *,
+    n_events: int,
+    lsn_base: int,
+    parts: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Steady-state increment: ``n_events`` update mutations spread
+    uniformly over the EXISTING keyspace of a ``gen_events(n_convs)``
+    preload — the sustained-apply shape (every epoch touches keys across
+    all buckets, which is exactly what makes copy-on-write rewrite the
+    whole table).  ``lsn_base`` must exceed every previously issued lsn;
+    global lsns are strictly increasing, hence increasing per src_part.
+    Deterministic in (seed, lsn_base); same contract as gen_events."""
+    ks = keyspace(n_convs)
+    df = spark.range(n_events).select(
+        (F.lit(int(lsn_base)) + F.col("id")).alias("lsn"),
+        F.pmod(_h(seed, "UC", F.col("id") + F.lit(int(lsn_base))), F.lit(n_convs)).alias("cid"),
+        F.col("id").alias("i"),
+    )
+    df = df.withColumn("conv_id", F.format_string("conv%06d", F.col("cid")))
+    df = df.withColumn(
+        "turn_idx",
+        F.pmod(_h(seed, "UT", F.col("lsn")), F.lit(4)).cast("int"),
+    ).withColumn(
+        "src_part", F.pmod(F.xxhash64("conv_id"), F.lit(int(parts))).cast("int")
+    )
+    role = F.when(F.pmod(F.col("turn_idx"), F.lit(2)) == 0, "user").otherwise("assistant")
+    return df.select(
+        "lsn",
+        "src_part",
+        F.lit("U").alias("op"),
+        "conv_id",
+        F.col("turn_idx"),
+        role.alias("role"),
+        F.format_string("%s/t%d/u%d", F.col("conv_id"), F.col("turn_idx"), F.col("i")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("string").alias("tool_version"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("lsn")).alias("ts"),
+    )
+
+
+def append_update_segment(
+    events: DataFrame, out_dir: str, *, seg_no: int
+) -> None:
+    """Materialize one increment as ledger segments
+    ``out_dir/part={p}/seg={seg_no}/`` (one new segment per source
+    partition — the steady drip of a live binlog tail)."""
+    (
+        events.withColumn("part", F.col("src_part"))
+        .withColumn("seg", F.lit(int(seg_no)))
+        .repartition("part")
+        .sortWithinPartitions("lsn")
+        .write.partitionBy("part", "seg")
+        .mode("append")
+        .parquet(out_dir)
+    )

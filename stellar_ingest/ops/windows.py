@@ -103,6 +103,13 @@ def q_win_last_nn(spark, sf):
 
 
 def q_win_ntile(spark, sf):
+    """Scale note: an UNPARTITIONED window is inherent to global
+    quantile semantics — Spark executes it as a single task after a
+    global sort, so this is a small-result analytical op, not a hot-path
+    one.  At 100 TB you'd pre-aggregate (approx_percentile per partition
+    → merge) or partition the window by a coarse key; the exact global
+    rank here exists for oracle-paired correctness of ntile/percent_rank/
+    cume_dist themselves."""
     c = tbl(spark, sf, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return c.select(
