@@ -48,7 +48,7 @@ from stellar_ingest.gen.changelog import (  # noqa: E402
 #: around v=23 → lsn < 24*ks; 64*ks leaves room and stays deterministic)
 _INC_LSN_FACTOR = 64
 
-#: (name, runner mode, fold_min_delta_files)
+#: (name, runner mode, fold_min_deltas — delta COMMITS per bucket)
 DEFAULT_MODES = (
     ("cow", "cow", None),
     ("mor", "mor", None),
@@ -105,7 +105,7 @@ def run_steady_state(
                     spark, ledger, table, ck,
                     max_segments_per_part=None, max_epochs=1, salts=None,
                     num_buckets=num_buckets, mode=mode,
-                    fold_min_delta_files=fold_min,
+                    fold_min_deltas=fold_min,
                 )
                 walls.append(time.monotonic() - t0)
             epochs[name] = [round(inc_events / w, 1) for w in walls]

@@ -165,6 +165,9 @@ def _fence_and_repair(
         "epoch": snap_epoch,
         "offsets": new_offsets,
         "snapshot_id": snap["snapshot_id"],
+        # advisory skew hint survives the repair (losing it would run
+        # the first post-crash epoch unsalted on a known-hot key)
+        "salt_hint": ck.get("salt_hint"),
     }
     ckpt.save(checkpoint_dir, ck)
     return ck
@@ -183,7 +186,7 @@ def run_increment(
     crash_hook: Callable[[str], None] | None = None,
     format_version: int = 2,
     mode: str = "cow",
-    fold_min_delta_files: int | None = None,
+    fold_min_deltas: int | None = None,
     salt_threshold: int = DEFAULT_HOT_THRESHOLD,
 ) -> list[dict]:
     """Drain the ledger in micro-batches (availableNow semantics);
@@ -194,10 +197,10 @@ def run_increment(
     best for backfill / read-heavy tables) or ``"mor"`` (merge-on-read —
     appends resolved delta files, Θ(batch) per epoch regardless of table
     size; the steady-state choice for sustained apply into large
-    tables).  ``fold_min_delta_files``: in MoR mode, after each epoch
-    fold buckets holding at least this many delta files back to one
-    resolved file (None = never; the operator compacts on their own
-    schedule).  Both modes produce byte-identical resolved state
+    tables).  ``fold_min_deltas``: in MoR mode, after each epoch fold
+    buckets holding deltas from at least this many distinct commits
+    back to one resolved file (None = never; the operator compacts on
+    their own schedule).  Both modes produce byte-identical resolved state
     (tests/test_replay.py proves fingerprint equality)."""
     from concurrent.futures import ThreadPoolExecutor
 
@@ -362,13 +365,13 @@ def run_increment(
                 },
             )
             hook("post_checkpoint")
-            if mode == "mor" and fold_min_delta_files:
+            if mode == "mor" and fold_min_deltas:
                 # fold AFTER the checkpoint: the fold snapshot carries the
                 # epoch/offsets forward (maintenance summary), so a crash
                 # anywhere inside it leaves a consistent, resumable table
                 from ..lake.maintain import fold_deltas
 
-                fold_deltas(spark, table, min_delta_files=fold_min_delta_files)
+                fold_deltas(spark, table, min_delta_commits=fold_min_deltas)
             epochs_done += 1
     finally:
         pool.shutdown(wait=False, cancel_futures=True)

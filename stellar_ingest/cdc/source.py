@@ -205,6 +205,11 @@ def read_batch(
     # them (rows are quarantined, never dropped).  Plain OR of pushable
     # leaves: parquet row-group pruning on lsn still applies (null_count
     # is 0 in well-formed segments, so IS NULL prunes with the stats).
+    # Semantics: quarantine of NULL-envelope rows is AT-LEAST-ONCE — a
+    # row with no log position cannot be watermarked, so if its segment
+    # is read by several epochs (interleaved redeliveries) each of those
+    # epochs re-quarantines it.  Dead letters are an audit surface, not
+    # a ledger; consumers dedupe if they need exactly-once counts.
     bounds = (hwm_predicate(offsets) & ceil_pred) | F.col("lsn").isNull() | F.col(
         "src_part"
     ).isNull()

@@ -234,14 +234,19 @@ def gen_update_stream(
     lsn_base: int,
     parts: int = 4,
     seed: int = 42,
+    preload_seed: int = 42,
 ) -> DataFrame:
     """Steady-state increment: ``n_events`` update mutations spread
-    uniformly over the EXISTING keyspace of a ``gen_events(n_convs)``
-    preload — the sustained-apply shape (every epoch touches keys across
-    all buckets, which is exactly what makes copy-on-write rewrite the
-    whole table).  ``lsn_base`` must exceed every previously issued lsn;
-    global lsns are strictly increasing, hence increasing per src_part.
-    Deterministic in (seed, lsn_base); same contract as gen_events."""
+    uniformly over the EXISTING keyspace of a ``gen_events(n_convs,
+    seed=preload_seed)`` preload — the sustained-apply shape (every
+    epoch touches keys across all buckets, which is exactly what makes
+    copy-on-write rewrite the whole table).  turn_idx is drawn within
+    each conversation's actual preload turn count (same n_turns formula
+    as gen_events), so every update references a previously inserted key
+    and the table size stays fixed across epochs.  ``lsn_base`` must
+    exceed every previously issued lsn; global lsns are strictly
+    increasing, hence increasing per src_part.  Deterministic in
+    (seed, lsn_base); same contract as gen_events."""
     ks = keyspace(n_convs)
     df = spark.range(n_events).select(
         (F.lit(int(lsn_base)) + F.col("id")).alias("lsn"),
@@ -249,9 +254,16 @@ def gen_update_stream(
         F.col("id").alias("i"),
     )
     df = df.withColumn("conv_id", F.format_string("conv%06d", F.col("cid")))
+    # the preload's per-conversation turn count (mirror of gen_events)
+    n_turns = F.least(
+        F.lit(MAX_TURNS),
+        1
+        + F.pmod(_h(preload_seed, "T", F.col("cid")), F.lit(8)).cast("int")
+        + F.when(F.pmod(_h(preload_seed, "TH", F.col("cid")), F.lit(47)) == 0, 56).otherwise(0),
+    )
     df = df.withColumn(
         "turn_idx",
-        F.pmod(_h(seed, "UT", F.col("lsn")), F.lit(4)).cast("int"),
+        F.pmod(_h(seed, "UT", F.col("lsn")), n_turns).cast("int"),
     ).withColumn(
         "src_part", F.pmod(F.xxhash64("conv_id"), F.lit(int(parts))).cast("int")
     )

@@ -86,6 +86,13 @@ def struct_to_fields(struct: T.StructType, start_id: int = 1) -> list[dict]:
     return out
 
 
+def commit_tag(path: str) -> str:
+    """Commit group of a data file — the per-commit directory component
+    of its (root-relative) path: ``data/<tag>/__bucket=b/...``."""
+    parts = path.split("/")
+    return parts[1] if len(parts) > 1 else path
+
+
 def _atomic_write_json(path: str, obj) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -364,9 +371,13 @@ class IceboxTable:
                 "manifest": fname,
                 "files": len(entries),
                 "rows": sum(e["rows"] for e in entries),
-                # metadata-only fold policy input (merge-on-read): how
-                # many of this bucket's files are delta commits
+                # metadata-only fold-policy inputs (merge-on-read): one
+                # delta COMMIT may fan out into several files per bucket
+                # (write salt), so the policy counts commits, not files
                 "delta_files": sum(1 for e in entries if e.get("delta")),
+                "delta_commits": len(
+                    {commit_tag(e["path"]) for e in entries if e.get("delta")}
+                ),
             }
         _atomic_write_json(
             os.path.join(self.meta_dir, f"snap-{new_id}.manifest-list.json"),

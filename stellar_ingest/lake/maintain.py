@@ -21,7 +21,7 @@ import time
 
 from pyspark.sql import SparkSession
 
-from .core import IceboxTable, _atomic_write_json
+from .core import IceboxTable, _atomic_write_json, commit_tag
 from .read import scan
 from .write import bucket_expr, write_data_files
 
@@ -80,49 +80,73 @@ def compact(
     )
 
 
-def delta_file_counts(table: IceboxTable) -> dict[int, int]:
-    """Per-bucket count of merge-on-read delta files in the current
-    snapshot.  Metadata-only: format-v2 manifest lists carry the count
-    per bucket ref; refs written before the field existed (or format v1)
-    fall back to reading that bucket's manifest."""
+def _count_delta(entries) -> tuple[int, int]:
+    """(delta_files, delta_commits) over manifest entries."""
+    files = [e for e in entries if e.get("delta")]
+    return len(files), len({commit_tag(e["path"]) for e in files})
+
+
+def delta_counts(table: IceboxTable) -> dict[int, dict]:
+    """Per-bucket merge-on-read debt in the current snapshot:
+    ``{bucket: {files, commits}}``.  Metadata-only on format v2 (the
+    manifest list carries both counts per bucket ref); refs written
+    before the fields existed (or format v1) fall back to reading that
+    bucket's manifest.  ``commits`` is the policy-relevant number — one
+    delta commit may fan out into several files per bucket (write
+    salt), and the read-time window depth grows with COMMITS per
+    bucket, not files."""
     meta = table.metadata()
     sid = meta["current_snapshot_id"]
     if sid is None:
         return {}
     ml = table.manifest_list(sid)
-    out: dict[int, int] = {}
+    out: dict[int, dict] = {}
     if ml is not None:
         for b, ref in ml.items():
-            if "delta_files" in ref:
-                out[int(b)] = int(ref["delta_files"])
+            if "delta_commits" in ref:
+                out[int(b)] = {
+                    "files": int(ref.get("delta_files", 0)),
+                    "commits": int(ref["delta_commits"]),
+                }
             else:
-                out[int(b)] = sum(
-                    1
-                    for e in table._read_bucket_manifest(ref["manifest"])
-                    if e.get("delta")
-                )
+                nf, nc = _count_delta(table._read_bucket_manifest(ref["manifest"]))
+                out[int(b)] = {"files": nf, "commits": nc}
         return out
+    by_bucket: dict[int, list] = {}
     for e in table.files(sid):
-        if e.get("delta"):
-            out[int(e["bucket"])] = out.get(int(e["bucket"]), 0) + 1
+        by_bucket.setdefault(int(e["bucket"]), []).append(e)
+    for b, es in by_bucket.items():
+        nf, nc = _count_delta(es)
+        out[b] = {"files": nf, "commits": nc}
     return out
+
+
+def delta_file_counts(table: IceboxTable) -> dict[int, int]:
+    """Per-bucket count of merge-on-read delta FILES (see delta_counts
+    for the commit-granularity view the fold policy uses)."""
+    return {b: c["files"] for b, c in delta_counts(table).items()}
 
 
 def fold_deltas(
     spark: SparkSession,
     table: IceboxTable,
     *,
-    min_delta_files: int = 2,
+    min_delta_commits: int = 2,
 ) -> int | None:
-    """Compact merge-on-read deltas: rewrite every bucket holding at
-    least ``min_delta_files`` delta files down to one resolved file
-    (scan() resolves LWW, so the rewrite IS the fold — rewritten files
-    drop the delta flag and subsequent reads of those buckets skip the
-    resolve window entirely).  Fingerprint-equal by construction, fence
-    carried forward like any compaction.  Returns the new snapshot id,
-    or None when no bucket crossed the policy."""
+    """Compact merge-on-read deltas: rewrite every bucket holding
+    deltas from at least ``min_delta_commits`` distinct commits down to
+    one resolved file (scan() resolves LWW, so the rewrite IS the fold —
+    rewritten files drop the delta flag and subsequent reads of those
+    buckets skip the resolve window entirely).  Counting COMMITS, not
+    files, makes the policy independent of the write salt's per-commit
+    file fan-out (a single epoch can write up to 8 files per bucket).
+    Fingerprint-equal by construction, fence carried forward like any
+    compaction.  Returns the new snapshot id, or None when no bucket
+    crossed the policy."""
     target = sorted(
-        b for b, n in delta_file_counts(table).items() if n >= min_delta_files
+        b
+        for b, c in delta_counts(table).items()
+        if c["commits"] >= min_delta_commits
     )
     if not target:
         return None
@@ -260,21 +284,36 @@ def gc_orphans(
         else:
             live_manifests.add(f"snap-{sid}.manifest.json")
 
+    # a commit dir (data/<tag>/) is live iff ANY snapshot references a
+    # file under it; fully-orphaned commit dirs are deleted wholesale —
+    # including Spark's _SUCCESS / Hadoop .crc droppings, so repeated
+    # crashes can't accumulate empty snap-pending-* dirs.  Inside LIVE
+    # commit dirs only unreferenced parquet is removed (zero-row files
+    # the manifest skipped); markers are left alone.
+    live_commit_dirs = {p.split("/")[1] for p in live_paths if "/" in p}
     n_data = n_manifest = reclaimed = 0
     for root, _dirs, files in os.walk(table.data_dir):
+        rel_root = os.path.relpath(root, table.data_dir)
+        tag = rel_root.split(os.sep)[0] if rel_root != "." else None
+        dir_live = tag is None or tag in live_commit_dirs
         for fn in files:
             full = os.path.join(root, fn)
             rel = os.path.relpath(full, table.root)
-            if rel in live_paths or not fn.endswith(".parquet"):
+            if rel in live_paths:
                 continue
+            if dir_live and not fn.endswith(".parquet"):
+                continue  # markers in live commit dirs are harmless
             if os.path.getmtime(full) >= cutoff_s:
                 continue  # grace: possibly an in-flight commit
             reclaimed += os.path.getsize(full)
             os.remove(full)
-            n_data += 1
-    # prune now-empty commit/bucket dirs (cosmetic, keeps listings tight)
-    for root, dirs, files in os.walk(table.data_dir, topdown=False):
-        if root != table.data_dir and not dirs and not files:
+            if fn.endswith(".parquet"):
+                n_data += 1
+    # prune now-empty commit/bucket dirs (cosmetic, keeps listings tight).
+    # os.listdir at yield time, not the walk's dirs/files snapshot — the
+    # parent's listing was taken BEFORE its children were rmdir'd
+    for root, _dirs, _files in os.walk(table.data_dir, topdown=False):
+        if root != table.data_dir and not os.listdir(root):
             os.rmdir(root)
     # manifests whose snapshot vanished without expiry bookkeeping
     # (crash between manifest write and the version-hint swap)

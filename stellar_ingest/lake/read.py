@@ -30,18 +30,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schema import KEY_COLS, ORDER_COLS
-from .core import IceboxTable
+from .core import IceboxTable, commit_tag
 
 #: engine-internal columns carried in every stored row (LWW ordering +
 #: lineage); user-facing reads drop them.
 META_COLS = ("_ts", "_lsn", "_src_part", "_op")
-
-
-def _commit_tag(entry: dict) -> str:
-    """Commit group of a data file — the per-commit directory component
-    of its path (``data/<tag>/__bucket=b/...``)."""
-    parts = entry["path"].split("/")
-    return parts[1] if len(parts) > 1 else entry["path"]
 
 
 def _needs_resolve(entries: list[dict]) -> bool:
@@ -51,7 +44,7 @@ def _needs_resolve(entries: list[dict]) -> bool:
     construction, even across the write fan-out's multiple files)."""
     if not any(e.get("delta") for e in entries):
         return False
-    return len({_commit_tag(e) for e in entries}) > 1
+    return len({commit_tag(e["path"]) for e in entries}) > 1
 
 
 def resolve_stored(df: DataFrame) -> DataFrame:

@@ -18,7 +18,20 @@ proves for the batch loop).
 from __future__ import annotations
 
 import os
+import shutil
 import time
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count of a parquet dir from footers (driver-side, no job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -99,7 +112,28 @@ def run_streaming(
         snap = table.current_snapshot()
         epoch = int(snap["summary"].get("epoch", 0)) if snap else 0
         if snap and int(snap["summary"].get("ss_batch_id", -1)) >= batch_id:
-            return  # epoch fence: this SS batch already committed
+            # epoch fence: this SS batch already committed.  Consume the
+            # batch anyway — Spark 4.x validates that foreachBatch
+            # processed every partition (the dedupe operator's state
+            # store must commit), so an early return without an action
+            # fails the query with STATE_STORE_COMMIT_VALIDATION_FAILED.
+            batch_df.count()
+            # A crash between merge_apply and lin.emit replays the batch
+            # here — re-emit the torn epoch's lineage from the snapshot
+            # summary (idempotent: emit skips epochs already in the
+            # log), so the audit log stays gap-free on this path too.
+            linfo = snap["summary"].get("lineage")
+            if linfo is not None:
+                lin.emit(
+                    checkpoint_dir,
+                    epoch=epoch,
+                    snapshot_id=snap["snapshot_id"],
+                    partition_stats=linfo["partition_stats"],
+                    wall_ms=0.0,
+                    quarantined=int(linfo.get("quarantined", 0)),
+                    repaired=True,
+                )
+            return
         # validation audit parity with the batch runner (cdc/runner.py):
         # quarantined rows persist to the dead-letter sink and every
         # batch emits lineage.  The adapter pays two small extra actions
@@ -120,15 +154,17 @@ def run_streaming(
             )
             .collect()
         ]
-        n_bad = bad.count()
+        # dead-letter write IS the count action (one pass over the bad
+        # branch; n_bad read back from the written footers, driver-side)
+        qdir = os.path.join(checkpoint_dir, "quarantine", f"ss_batch={batch_id}")
+        bad.write.mode("overwrite").parquet(qdir)
+        n_bad = _parquet_rows(qdir)
+        if n_bad == 0:
+            shutil.rmtree(qdir, ignore_errors=True)
         if not pstats and n_bad == 0:
             # availableNow + watermarked dedupe emits a trailing empty
             # flush batch — don't mint an empty snapshot/lineage for it
             return
-        if n_bad:
-            bad.write.mode("overwrite").parquet(
-                os.path.join(checkpoint_dir, "quarantine", f"ss_batch={batch_id}")
-            )
         sid = merge_apply(
             spark,
             table,

@@ -248,6 +248,11 @@ def test_gc_orphans_reclaims_crash_leftovers_only(spark, tmp_table):
     assert res["data_files_deleted"] == len(orphans)
     for e in orphans:
         assert not os.path.exists(os.path.join(t.root, e["path"]))
+    # the orphaned commit dir is gone WHOLESALE — _SUCCESS/.crc
+    # droppings included, so crashes can't accumulate dead dirs
+    orphan_dir = os.path.join(t.root, orphans[0]["path"].split("/")[0],
+                              orphans[0]["path"].split("/")[1])
+    assert not os.path.exists(orphan_dir)
     assert table_fingerprint(scan(spark, t)) == fp
     # idempotent: second pass finds nothing
     assert gc_orphans(t, grace_ms=3600_000, now_ms=future)["data_files_deleted"] == 0

@@ -327,7 +327,7 @@ def test_mor_fold_restores_plain_reads(spark, ledger, golden, tmp_path):
     )
     t = IceboxTable(table_root)
     assert sum(delta_file_counts(t).values()) > 0
-    sid = fold_deltas(spark, t, min_delta_files=1)
+    sid = fold_deltas(spark, t, min_delta_commits=1)
     assert sid is not None
     assert sum(delta_file_counts(t).values()) == 0
     assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
@@ -339,12 +339,12 @@ def test_mor_fold_restores_plain_reads(spark, ledger, golden, tmp_path):
 
 
 def test_mor_inloop_fold_policy_reconverges(spark, ledger, golden, tmp_path):
-    """The runner's fold_min_delta_files policy interleaves folds with
+    """The runner's fold_min_deltas policy interleaves folds with
     delta epochs; the final state is still byte-identical."""
     table_root = str(tmp_path / "t")
     run_increment(
         spark, ledger["dir"], table_root, str(tmp_path / "ck"),
-        max_segments_per_part=4, salts=None, mode="mor", fold_min_delta_files=2,
+        max_segments_per_part=4, salts=None, mode="mor", fold_min_deltas=2,
     )
     t = IceboxTable(table_root)
     ops = [s["operation"] for s in t.snapshots()]
@@ -416,3 +416,82 @@ def test_mor_read_changes_between_snapshots(spark, ledger, tmp_path):
     }
     assert {(r["conv_id"], r["turn_idx"]) for r in rows} == exp_keys
     assert any(r["_op"] == "D" for r in rows)
+
+
+def test_fold_policy_counts_commits_not_files(spark, ledger, tmp_path):
+    """One delta commit fans out into several files per bucket under
+    write salt; the fold policy must not mistake that for multi-epoch
+    delta accumulation (or it would fold after every epoch, paying a
+    Θ(table) compaction per Θ(batch) commit)."""
+    import os
+
+    from stellar_ingest.lake.maintain import delta_counts, fold_deltas
+
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    os.environ["STELLAR_WRITE_SALT"] = "4"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        run_increment(
+            spark, ledger["dir"], table_root, ck,
+            max_segments_per_part=4, max_epochs=2, salts=None, mode="mor",
+        )
+    finally:
+        os.environ.pop("STELLAR_WRITE_SALT", None)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    t = IceboxTable(table_root)
+    counts = delta_counts(t)
+    # the fan-out really happened: some bucket holds more delta files
+    # than delta commits
+    assert any(c["files"] > c["commits"] for c in counts.values())
+    assert max(c["commits"] for c in counts.values()) <= 2
+    # a files-based threshold of 3 would have fired; commits-based holds
+    assert fold_deltas(spark, t, min_delta_commits=3) is None
+    assert fold_deltas(spark, t, min_delta_commits=2) is not None
+    # every multi-commit bucket folded; single-commit buckets correctly
+    # stay (they're already windowless on read — one commit's winners
+    # are unique per key)
+    assert max(c["commits"] for c in delta_counts(t).values()) <= 1
+
+
+def test_salt_hint_survives_fence_repair(spark, ledger, tmp_path):
+    """The advisory salt hint rides the checkpoint THROUGH a torn-commit
+    repair — a crash must not disarm auto-salting on a known-hot key."""
+    from stellar_ingest.cdc import checkpoint as ckpt
+
+    table_root = str(tmp_path / "t")
+    ck_dir = str(tmp_path / "ck")
+    run_increment(
+        spark, ledger["dir"], table_root, ck_dir,
+        max_segments_per_part=2, max_epochs=1, salts=None,
+    )
+    from stellar_ingest.cdc.runner import _fence_and_repair
+
+    ck = ckpt.load(ck_dir)
+    ck["salt_hint"] = 32
+    # rewind the epoch so the fence sees a torn commit
+    ck["epoch"] -= 1
+    repaired = _fence_and_repair(
+        spark, ledger["dir"], IceboxTable(table_root), ck_dir, ck
+    )
+    assert repaired["epoch"] == ck["epoch"] + 1  # fence really fired
+    assert repaired["salt_hint"] == 32
+    assert ckpt.load(ck_dir)["salt_hint"] == 32  # persisted, not just returned
+
+
+def test_update_stream_targets_existing_keys_only(spark):
+    """gen_update_stream draws turn_idx inside each conversation's
+    actual preload turn count — steady-state updates never insert new
+    keys, so the bench table stays fixed-size across epochs."""
+    from stellar_ingest.gen.changelog import gen_events, gen_update_stream, keyspace
+
+    n = 200
+    pre = gen_events(spark, n, parts=4, seed=42)
+    pre_keys = {
+        (r["conv_id"], r["turn_idx"]) for r in pre.select("conv_id", "turn_idx").distinct().collect()
+    }
+    upd = gen_update_stream(spark, n, n_events=2000, lsn_base=64 * keyspace(n), parts=4, seed=777)
+    upd_keys = {
+        (r["conv_id"], r["turn_idx"]) for r in upd.select("conv_id", "turn_idx").distinct().collect()
+    }
+    assert upd_keys <= pre_keys

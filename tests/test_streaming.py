@@ -93,3 +93,31 @@ def test_streaming_quarantine_and_lineage_parity(spark, tmp_path):
     # with the batch runner's torn-commit path)
     summ = IceboxTable(str(tmp_path / "t")).current_snapshot()["summary"]
     assert summ["lineage"]["quarantined"] == 1
+
+
+def test_streaming_fence_reemits_lineage_on_replay(spark, tmp_path):
+    """Crash between merge_apply and lin.emit: SS replays the batch, the
+    fence skips the double-apply AND re-emits the torn epoch's lineage
+    from the snapshot summary — no epoch gap on the streaming path."""
+    import shutil
+
+    from stellar_ingest.cdc.lineage import LINEAGE_FILE, read_lineage
+    from stellar_ingest.gen.changelog import gen_events, keyspace, write_ledger
+
+    ev = gen_events(spark, 10, parts=2, seed=3)
+    write_ledger(ev, str(tmp_path / "ledger"), n_convs=10, seg_span=keyspace(10))
+    ck = str(tmp_path / "ck")
+    run_streaming(spark, str(tmp_path / "ledger"), str(tmp_path / "t"), ck, num_buckets=4)
+    t = IceboxTable(str(tmp_path / "t"))
+    snaps_before = len(t.snapshots())
+    first = [(r["epoch"], r["src_part"]) for r in read_lineage(ck)]
+    assert first and all(e == 1 for e, _ in first)
+    # simulate the torn window: lineage never landed, and the SS
+    # checkpoint lost the batch commit → the batch replays on restart
+    (tmp_path / "ck" / LINEAGE_FILE).unlink()
+    shutil.rmtree(tmp_path / "ck" / "ss")
+    run_streaming(spark, str(tmp_path / "ledger"), str(tmp_path / "t"), ck, num_buckets=4)
+    assert len(t.snapshots()) == snaps_before  # fence: no double apply
+    recs = read_lineage(ck)
+    assert [(r["epoch"], r["src_part"]) for r in recs] == first
+    assert all(r["repaired"] is True for r in recs)
