@@ -32,6 +32,7 @@ HEADLINE = [
     "text_quality",
     "ann_cosine_topk",
     "win_tumbling",
+    "tpch_q5",
 ]
 
 

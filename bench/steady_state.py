@@ -16,7 +16,7 @@ Expected shape: COW epoch cost grows with TABLE size (it rewrites every
 touched bucket), so its per-epoch ev/s is far below the backfill number
 and would shrink further as the table grows; MoR epochs are Θ(batch)
 and stay roughly flat regardless of table size.  ``mor+fold`` shows the
-amortized cost of folding deltas back down on a file-count policy.
+amortized cost of folding deltas back down on a commit-count policy.
 
 Results land in BENCH/BASELINE.md; bench.py runs a bounded variant per
 round (keys ``cdc_steady_*``).

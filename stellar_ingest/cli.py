@@ -5,11 +5,14 @@ Usage (spark-submit --py-files stellar_ingest.zip)::
 
     python -m stellar_ingest.cli backfill --ledger L --table T --checkpoint C
     python -m stellar_ingest.cli run      --ledger L --table T --checkpoint C \
-        [--max-segments-per-part N] [--max-epochs K] [--salts auto|none|INT]
+        [--max-segments-per-part N] [--max-epochs K] [--salts auto|none|INT] \
+        [--mode cow|mor] [--fold-min-deltas K]
     python -m stellar_ingest.cli gen      --out L --convs N [--parts P]
     python -m stellar_ingest.cli show     --table T [--snapshot ID]
     python -m stellar_ingest.cli compact  --table T [--min-files N]
-    python -m stellar_ingest.cli expire   --table T [--keep-last N]
+    python -m stellar_ingest.cli fold     --table T [--min-delta-commits K]
+    python -m stellar_ingest.cli expire   --table T [--keep-last N] [--older-than-ms MS]
+    python -m stellar_ingest.cli gc       --table T [--grace-ms MS]
     python -m stellar_ingest.cli changes  --table T --since SNAPSHOT_ID
 """
 
@@ -43,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--checkpoint", required=True)
         p.add_argument("--num-buckets", type=int, default=64)
         p.add_argument("--salts", type=_salts, default="auto")
+        p.add_argument("--mode", choices=("cow", "mor"), default="cow")
+        p.add_argument("--fold-min-deltas", type=int, default=None)
         if name == "run":
             p.add_argument("--max-segments-per-part", type=int, default=None)
             p.add_argument("--max-epochs", type=int, default=None)
@@ -64,6 +69,15 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=2)
+    e.add_argument("--older-than-ms", type=int, default=None)
+
+    f = sub.add_parser("fold", parents=[common])
+    f.add_argument("--table", required=True)
+    f.add_argument("--min-delta-commits", type=int, default=2)
+
+    gc = sub.add_parser("gc")
+    gc.add_argument("--table", required=True)
+    gc.add_argument("--grace-ms", type=int, default=24 * 3600 * 1000)
 
     ch = sub.add_parser("changes", parents=[common])
     ch.add_argument("--table", required=True)
@@ -93,7 +107,19 @@ def main(argv: list[str] | None = None) -> int:
         from .lake.core import IceboxTable
         from .lake.maintain import expire_snapshots
 
-        out = expire_snapshots(IceboxTable(args.table), keep_last=args.keep_last)
+        out = expire_snapshots(
+            IceboxTable(args.table),
+            keep_last=args.keep_last,
+            older_than_ms=args.older_than_ms,
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "gc":
+        from .lake.core import IceboxTable
+        from .lake.maintain import gc_orphans
+
+        out = gc_orphans(IceboxTable(args.table), grace_ms=args.grace_ms)
         print(json.dumps(out))
         return 0
 
@@ -121,6 +147,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"snapshot_id": sid, "files": len(t.files())}))
         return 0
 
+    if args.cmd == "fold":
+        from .lake.core import IceboxTable
+        from .lake.maintain import delta_counts, fold_deltas
+
+        t = IceboxTable(args.table)
+        sid = fold_deltas(spark, t, min_delta_commits=args.min_delta_commits)
+        remaining = sum(c["commits"] for c in delta_counts(t).values())
+        print(json.dumps({"snapshot_id": sid, "remaining_delta_commits": remaining}))
+        return 0
+
     if args.cmd == "changes":
         from .lake.core import IceboxTable
         from .lake.read import read_changes
@@ -133,7 +169,12 @@ def main(argv: list[str] | None = None) -> int:
 
     from .cdc.runner import backfill, run_increment
 
-    kwargs = dict(salts=args.salts, num_buckets=args.num_buckets)
+    kwargs = dict(
+        salts=args.salts,
+        num_buckets=args.num_buckets,
+        mode=args.mode,
+        fold_min_deltas=args.fold_min_deltas,
+    )
     if args.cmd == "backfill":
         recs = backfill(spark, args.ledger, args.table, args.checkpoint, **kwargs)
     else:

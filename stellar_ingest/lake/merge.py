@@ -1,8 +1,16 @@
-"""Idempotent MERGE upsert — copy-on-write, bucket-pruned
-(SURVEY.md §2 ops 7/68/69; BASELINE.json:6 "idempotent MERGE upserts,
-key-partitioned").
+"""Idempotent MERGE upsert — two commit modes (SURVEY.md §2 ops
+7/68/69/78; BASELINE.json:6 "idempotent MERGE upserts,
+key-partitioned"):
 
-One batch = one plan, two shuffles, one snapshot commit:
+- ``merge_apply`` — **copy-on-write**: rewrite touched buckets; epoch
+  cost Θ(touched table data).  Best for backfill and read-heavy tables.
+- ``delta_apply`` — **merge-on-read**: append the batch's winners as
+  delta files; epoch cost Θ(batch).  The steady-state choice — readers
+  resolve at scan time (lake/read.py), folds compact on a policy
+  (lake/maintain.py::fold_deltas).  Measured at a 13.9M-row table:
+  5.7× COW throughput, flat in table size (BENCH/BASELINE.md §r3).
+
+The copy-on-write batch = one plan, two shuffles, one snapshot commit:
 
 1. **Touched buckets** from the batch's keys (tiny distinct collect,
    bounded by num_buckets, never by data size).

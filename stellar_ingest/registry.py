@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from .ops import (
     aggregates,
+    composites,
     dedup,
     functions,
     joins,
@@ -29,7 +30,7 @@ from .ops import (
 )
 from .ops.relational import tbl
 
-_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, multimodal, repair, udx]
+_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, multimodal, repair, udx, composites]
 
 
 def q_approx_count_distinct(spark, sf):
@@ -103,6 +104,13 @@ _EXTRA_ORACLE = {
 #: them to the front for round 3 (round-2 verdict item #2) so every key
 #: has a green row in the union of the two newest driver files.
 _PRIORITY_KEYS = [
+    # new in round 3 (must appear in the capped prefix)
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
+    # last recorded in CORRECTNESS_r01 — rotated forward for round 3
     "fn_string",
     "fn_datetime",
     "fn_math",

@@ -44,6 +44,8 @@ FAMILY_KEYS = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_sig",
+    "tpch_q3",
+    "tpch_q18",
 ]
 
 
