@@ -14,6 +14,7 @@ Usage (spark-submit --py-files stellar_ingest.zip)::
     python -m stellar_ingest.cli expire   --table T [--keep-last N] [--older-than-ms MS]
     python -m stellar_ingest.cli gc       --table T [--grace-ms MS]
     python -m stellar_ingest.cli changes  --table T --since SNAPSHOT_ID
+    python -m stellar_ingest.cli lookup   --table T --key CONV_ID [--snapshot ID]
 """
 
 from __future__ import annotations
@@ -83,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--table", required=True)
     ch.add_argument("--since", type=int, required=True)
     ch.add_argument("--limit", type=int, default=20)
+
+    lk = sub.add_parser("lookup", parents=[common])
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--key", required=True)
+    lk.add_argument("--snapshot", type=int, default=None)
 
     args = ap.parse_args(argv)
 
@@ -165,6 +171,18 @@ def main(argv: list[str] | None = None) -> int:
         n = df.count()
         df.show(args.limit, truncate=40)
         print(json.dumps({"changed_rows": n, "since": args.since}))
+        return 0
+
+    if args.cmd == "lookup":
+        from .lake.core import IceboxTable
+        from .lake.read import key_bucket, lookup
+
+        t = IceboxTable(args.table)
+        df = lookup(spark, t, args.key, snapshot_id=args.snapshot)
+        n = df.count()
+        df.orderBy("turn_idx").show(50, truncate=40)
+        b = key_bucket(spark, args.key, t.num_buckets)
+        print(json.dumps({"rows": n, "bucket": b, "files_read": len(df.inputFiles())}))
         return 0
 
     from .cdc.runner import backfill, run_increment

@@ -104,6 +104,43 @@ def scan(
     return df
 
 
+def key_bucket(spark: SparkSession, key, num_buckets: int) -> int:
+    """Driver-side bucket id for a key value — evaluates the SAME
+    ``pmod(xxhash64(key), n)`` expression the write path uses
+    (lake/write.py::bucket_expr), as a constant-folded local plan
+    (LocalTableScan: no executor work, sub-ms)."""
+    from .write import bucket_expr
+
+    return int(
+        spark.range(1)
+        .withColumn("k", F.lit(key))
+        .select(bucket_expr("k", num_buckets).alias("b"))
+        .first()["b"]
+    )
+
+
+def lookup(
+    spark: SparkSession,
+    table: IceboxTable,
+    key,
+    *,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Point lookup: all live rows for one value of the table's bucket
+    column (e.g. one conversation).  The 100-TB path for point queries:
+    the bucket id is computed driver-side from the key, the manifest
+    prunes the file list to that ONE bucket (1/num_buckets of the
+    table), and the key equality predicate pushes into the parquet scan
+    — files are clustered by (conv_id, turn_idx), so row-group min/max
+    stats skip all but the matching groups.  Total IO is O(bucket /
+    num_row_groups), independent of table size for fixed bucket count,
+    vs O(table) for a naive filter over a full scan."""
+    meta = table.metadata()
+    b = key_bucket(spark, key, meta["num_buckets"])
+    df = read_live(spark, table, snapshot_id=snapshot_id, buckets=[b])
+    return df.filter(F.col(meta["bucket_column"]) == F.lit(key))
+
+
 def read_changes(
     spark: SparkSession,
     table: IceboxTable,

@@ -293,3 +293,39 @@ def test_expire_snapshots_older_than_respects_young_snapshots(spark, tmp_table):
     res = expire_snapshots(t, keep_last=1, older_than_ms=600_000, now_ms=now)
     assert res["snapshots_expired"] == 0
     assert len(t.snapshots()) == 3
+
+
+def test_lookup_point_query_prunes_to_one_bucket(spark, tmp_table):
+    """lookup() must return exactly the full-scan-filter answer while
+    reading only the key's bucket (file-level pruning) — including when
+    that bucket holds unfolded MoR deltas needing read-time resolve."""
+    from stellar_ingest.lake.merge import delta_apply
+    from stellar_ingest.lake.read import key_bucket, lookup
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=4)
+    base = [
+        (f"c{i}", j, "user", f"t{i}.{j}", None, i * 10 + j, i * 10 + j, 0, "U")
+        for i in range(8)
+        for j in range(2)
+    ]
+    append(spark, t, _rows(spark, base))
+    # delta-commit a newer version of c3 turn 0 (MoR path, unfolded);
+    # delta_apply takes a changelog-shaped batch (ledger envelope)
+    from stellar_ingest.schema import CHANGELOG_SCHEMA
+
+    batch = spark.createDataFrame(
+        [(99, 0, "U", "c3", 0, "user", "t3.0-v2", None, ts(99))],
+        CHANGELOG_SCHEMA,
+    )
+    delta_apply(spark, t, batch, summary={"epoch": 2})
+
+    full = read_live(spark, t)
+    got = lookup(spark, t, "c3")
+    want = full.filter(F.col("conv_id") == "c3")
+    assert sorted(got.collect()) == sorted(want.collect())
+    assert got.filter(F.col("text") == "t3.0-v2").count() == 1  # resolved
+    # file pruning: the lookup plan reads a strict subset of the files
+    assert 0 < len(got.inputFiles()) < len(full.inputFiles())
+    # and only files from the key's own bucket
+    b = key_bucket(spark, "c3", t.num_buckets)
+    assert all(f"bucket={b}" in f for f in got.inputFiles())
