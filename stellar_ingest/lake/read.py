@@ -61,16 +61,34 @@ def resolve_stored(df: DataFrame) -> DataFrame:
     )
 
 
+def _may_contain(entry: dict, key) -> bool:
+    """Manifest-stats file skip: False only when the entry carries key
+    bounds (lake/write.py::_key_bounds) that exclude ``key``.  Absent
+    bounds (legacy entries, stats-less footers) ⇒ conservatively True.
+    Safe by construction: every file actually holding the key has
+    key_min ≤ key ≤ key_max, so pruning never drops a matching row —
+    and therefore never changes the multi-version resolve decision for
+    that key either (all of a key's versions survive pruning)."""
+    lo, hi = entry.get("key_min"), entry.get("key_max")
+    if lo is None or hi is None:
+        return True
+    return lo <= key <= hi
+
+
 def scan(
     spark: SparkSession,
     table: IceboxTable,
     *,
     snapshot_id: int | None = None,
     buckets: list[int] | None = None,
+    key_equals=None,
 ) -> DataFrame:
     """Full-fidelity scan of one snapshot (includes tombstones + meta
     columns), merge-on-read resolved.  ``snapshot_id=None`` → current;
-    pass an older id for time travel."""
+    pass an older id for time travel.  ``key_equals`` prunes the file
+    list to files whose manifest key bounds may contain that bucket-key
+    value (point-lookup path; the caller still applies the row-level
+    equality filter)."""
     meta = table.metadata()
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
     if sid is None:
@@ -83,6 +101,8 @@ def scan(
         else table.schema_struct(table.snapshot(sid)["schema_id"])
     )
     entries = table.files(sid, buckets)
+    if key_equals is not None:
+        entries = [e for e in entries if _may_contain(e, key_equals)]
     if not entries:
         return spark.createDataFrame([], schema)
     by_bucket: dict[int, list[dict]] = {}
@@ -137,7 +157,9 @@ def lookup(
     vs O(table) for a naive filter over a full scan."""
     meta = table.metadata()
     b = key_bucket(spark, key, meta["num_buckets"])
-    df = read_live(spark, table, snapshot_id=snapshot_id, buckets=[b])
+    df = read_live(
+        spark, table, snapshot_id=snapshot_id, buckets=[b], key_equals=key
+    )
     return df.filter(F.col(meta["bucket_column"]) == F.lit(key))
 
 
@@ -190,9 +212,12 @@ def read_live(
     *,
     snapshot_id: int | None = None,
     buckets: list[int] | None = None,
+    key_equals=None,
 ) -> DataFrame:
     """User-facing view: tombstones filtered out, meta columns dropped."""
-    df = scan(spark, table, snapshot_id=snapshot_id, buckets=buckets)
+    df = scan(
+        spark, table, snapshot_id=snapshot_id, buckets=buckets, key_equals=key_equals
+    )
     if "_op" in df.columns:
         df = df.filter(F.col("_op") != F.lit("D"))
     return df.drop(*[c for c in META_COLS if c in df.columns])

@@ -81,6 +81,7 @@ def write_data_files(
         .mode("overwrite")
         .parquet(out)
     )
+    key_col = table.metadata()["bucket_column"]
     entries = []
     for bdir in sorted(os.listdir(out)):
         if not bdir.startswith("__bucket="):
@@ -90,14 +91,38 @@ def write_data_files(
             if not fn.endswith(".parquet"):
                 continue
             full = os.path.join(out, bdir, fn)
-            rows = pq.ParquetFile(full).metadata.num_rows
+            md = pq.ParquetFile(full).metadata
+            rows = md.num_rows
             if rows == 0:
                 continue
             entry = {"path": os.path.relpath(full, table.root), "bucket": b, "rows": rows}
             if delta:
                 entry["delta"] = True
+            lo, hi = _key_bounds(md, key_col)
+            if lo is not None:
+                entry["key_min"], entry["key_max"] = lo, hi
             entries.append(entry)
     return entries
+
+
+def _key_bounds(md, key_col: str):
+    """Per-file (min, max) of the bucket-key column, harvested from the
+    parquet footer already in hand — manifest-level stats so point
+    lookups can skip whole files without opening footers (Iceberg
+    manifest min/max analogue).  Returns (None, None) if stats are
+    unavailable; callers treat absent bounds as "may contain"."""
+    try:
+        idx = md.schema.names.index(key_col)
+    except ValueError:
+        return None, None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
 
 
 def append(

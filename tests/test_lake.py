@@ -329,3 +329,16 @@ def test_lookup_point_query_prunes_to_one_bucket(spark, tmp_table):
     # and only files from the key's own bucket
     b = key_bucket(spark, "c3", t.num_buckets)
     assert all(f"bucket={b}" in f for f in got.inputFiles())
+
+    # manifest key-bounds skip WITHIN the bucket: append keys z1..z8
+    # (lexicographically disjoint from c3) — whichever land in c3's
+    # bucket produce files whose [key_min, key_max] excludes "c3", so
+    # the lookup must not read them
+    n_before = len(lookup(spark, t, "c3").inputFiles())
+    zs = [(f"z{i}", 0, "user", f"zt{i}", None, 500 + i, 500 + i, 0, "U") for i in range(1, 9)]
+    append(spark, t, _rows(spark, zs))
+    in_bucket = [z for z in zs if key_bucket(spark, z[0], t.num_buckets) == b]
+    assert in_bucket, "fixture should land at least one z-key in c3's bucket"
+    after = lookup(spark, t, "c3")
+    assert len(after.inputFiles()) == n_before  # z-files skipped by stats
+    assert sorted(after.collect()) == sorted(got.collect())
