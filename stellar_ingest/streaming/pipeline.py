@@ -40,7 +40,7 @@ from ..cdc import lineage as lin
 from ..cdc.source import batch_schema, list_segments
 from ..cdc.validate import split_valid
 from ..lake.core import IceboxTable
-from ..lake.merge import merge_apply
+from ..lake.merge import delta_apply, merge_apply
 from ..schema import CHANGELOG_SCHEMA, ensure_table_schema, table_schema_for
 
 
@@ -86,9 +86,19 @@ def run_streaming(
     *,
     num_buckets: int = 16,
     available_now: bool = True,
+    mode: str = "cow",
+    fold_min_deltas: int | None = None,
 ):
     """Drain the ledger through Structured Streaming into the icebox
-    table.  One snapshot per micro-batch; epoch = SS batch id + 1."""
+    table.  One snapshot per micro-batch; epoch = SS batch id + 1.
+
+    ``mode="mor"`` commits each micro-batch as merge-on-read delta
+    files (Θ(batch) — the steady-state choice, same contract as the
+    batch runner's mode flag); ``fold_min_deltas`` folds buckets
+    holding deltas from ≥K commits after each batch, AFTER the
+    snapshot commit so a crash inside the fold leaves a consistent,
+    resumable table (the fence keys on ss_batch_id, which the fold's
+    carried-forward summary preserves)."""
     stream = with_stream_dedupe(
         read_changelog_stream(spark, ledger_dir).withColumn(
             "ts", F.col("ts").cast("timestamp")
@@ -165,7 +175,8 @@ def run_streaming(
             # availableNow + watermarked dedupe emits a trailing empty
             # flush batch — don't mint an empty snapshot/lineage for it
             return
-        sid = merge_apply(
+        apply_fn = delta_apply if mode == "mor" else merge_apply
+        sid = apply_fn(
             spark,
             table,
             valid,
@@ -183,6 +194,13 @@ def run_streaming(
             wall_ms=(time.monotonic() - t0) * 1000.0,
             quarantined=n_bad,
         )
+        if mode == "mor" and fold_min_deltas:
+            # after the commit + lineage emit, same ordering rationale
+            # as cdc/runner.py: the fold's carried-forward summary keeps
+            # epoch/ss_batch_id, so the fence stays intact across it
+            from ..lake.maintain import fold_deltas
+
+            fold_deltas(spark, table, min_delta_commits=fold_min_deltas)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", f"{checkpoint_dir}/ss"

@@ -121,3 +121,26 @@ def test_streaming_fence_reemits_lineage_on_replay(spark, tmp_path):
     recs = read_lineage(ck)
     assert [(r["epoch"], r["src_part"]) for r in recs] == first
     assert all(r["repaired"] is True for r in recs)
+
+
+def test_streaming_mor_mode_matches_cow(spark, small_ledger):
+    """mode="mor" (delta commits + in-loop fold) through the SS adapter
+    must land the same live state as the COW streaming run, and the
+    fold's carried-forward summary must keep the ss_batch_id fence
+    intact (idempotent restart after a fold)."""
+    root = small_ledger
+    run_streaming(
+        spark, str(root / "ledger"), str(root / "t_mor"), str(root / "ck_mor"),
+        num_buckets=4, mode="mor", fold_min_deltas=1,
+    )
+    mor_live = read_live(spark, IceboxTable(str(root / "t_mor")))
+    cow_live = read_live(spark, IceboxTable(str(root / "t_ss")))
+    assert states_equal(mor_live, cow_live)
+    # restart over the same SS checkpoint: fence holds across the fold
+    t = IceboxTable(str(root / "t_mor"))
+    before = len(t.snapshots())
+    run_streaming(
+        spark, str(root / "ledger"), str(root / "t_mor"), str(root / "ck_mor"),
+        num_buckets=4, mode="mor", fold_min_deltas=1,
+    )
+    assert len(t.snapshots()) == before
