@@ -204,6 +204,8 @@ def run_increment(
     (tests/test_replay.py proves fingerprint equality)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     hook = crash_hook or (lambda point: None)
     table = IceboxTable(table_root)
     all_records: list[dict] = []

@@ -3,7 +3,8 @@ CLI + long-running service [PK-med]).
 
 Usage (spark-submit --py-files stellar_ingest.zip)::
 
-    python -m stellar_ingest.cli backfill --ledger L --table T --checkpoint C
+    python -m stellar_ingest.cli backfill --ledger L --table T --checkpoint C \
+        [--mode cow|mor] [--fold-min-deltas K]
     python -m stellar_ingest.cli run      --ledger L --table T --checkpoint C \
         [--max-segments-per-part N] [--max-epochs K] [--salts auto|none|INT] \
         [--mode cow|mor] [--fold-min-deltas K]
@@ -179,10 +180,17 @@ def main(argv: list[str] | None = None) -> int:
 
         t = IceboxTable(args.table)
         df = lookup(spark, t, args.key, snapshot_id=args.snapshot)
-        n = df.count()
-        df.orderBy("turn_idx").show(50, truncate=40)
+        # one action: collect once, print from the driver (count+show
+        # would re-read the pruned files twice)
+        rows = df.orderBy("turn_idx").collect()
+        for r in rows[:50]:
+            print(r.asDict())
         b = key_bucket(spark, args.key, t.num_buckets)
-        print(json.dumps({"rows": n, "bucket": b, "files_read": len(df.inputFiles())}))
+        print(
+            json.dumps(
+                {"rows": len(rows), "bucket": b, "files_read": len(df.inputFiles())}
+            )
+        )
         return 0
 
     from .cdc.runner import backfill, run_increment

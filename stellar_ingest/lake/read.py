@@ -72,7 +72,12 @@ def _may_contain(entry: dict, key) -> bool:
     lo, hi = entry.get("key_min"), entry.get("key_max")
     if lo is None or hi is None:
         return True
-    return lo <= key <= hi
+    try:
+        return lo <= key <= hi
+    except TypeError:
+        # bound/key type mismatch (e.g. evolved key column type):
+        # conservatively read the file rather than risk skipping it
+        return True
 
 
 def scan(

@@ -99,7 +99,10 @@ def write_data_files(
             if delta:
                 entry["delta"] = True
             lo, hi = _key_bounds(md, key_col)
-            if lo is not None:
+            # manifests are JSON — only store bounds of JSON-native
+            # types (a timestamp/binary bucket column would otherwise
+            # break every commit); absent bounds read conservatively
+            if isinstance(lo, (str, int, float)) and isinstance(hi, (str, int, float)):
                 entry["key_min"], entry["key_max"] = lo, hi
             entries.append(entry)
     return entries

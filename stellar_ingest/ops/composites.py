@@ -1,4 +1,4 @@
-"""Composite analytical pipelines (TPC-H Q3/Q5/Q10 shapes) — each one
+"""Composite analytical pipelines (TPC-H Q3/Q4/Q5/Q10/Q18 shapes) — each one
 exercises a multi-operator chain (scan → pushdown filter → multi-way
 join → decimal aggregate → ordered top-k) through the same building
 blocks the rest of §2 verifies individually.  Complements `agg_basic`,

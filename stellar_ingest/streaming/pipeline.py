@@ -99,6 +99,8 @@ def run_streaming(
     snapshot commit so a crash inside the fold leaves a consistent,
     resumable table (the fence keys on ss_batch_id, which the fold's
     carried-forward summary preserves)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     stream = with_stream_dedupe(
         read_changelog_stream(spark, ledger_dir).withColumn(
             "ts", F.col("ts").cast("timestamp")

@@ -133,8 +133,13 @@ def test_streaming_mor_mode_matches_cow(spark, small_ledger):
         spark, str(root / "ledger"), str(root / "t_mor"), str(root / "ck_mor"),
         num_buckets=4, mode="mor", fold_min_deltas=1,
     )
+    # self-contained COW reference (no dependency on earlier tests)
+    run_streaming(
+        spark, str(root / "ledger"), str(root / "t_cowref"), str(root / "ck_cowref"),
+        num_buckets=4,
+    )
     mor_live = read_live(spark, IceboxTable(str(root / "t_mor")))
-    cow_live = read_live(spark, IceboxTable(str(root / "t_ss")))
+    cow_live = read_live(spark, IceboxTable(str(root / "t_cowref")))
     assert states_equal(mor_live, cow_live)
     # restart over the same SS checkpoint: fence holds across the fold
     t = IceboxTable(str(root / "t_mor"))
