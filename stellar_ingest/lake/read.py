@@ -130,10 +130,17 @@ def scan(
 
 
 def key_bucket(spark: SparkSession, key, num_buckets: int) -> int:
-    """Driver-side bucket id for a key value — evaluates the SAME
-    ``pmod(xxhash64(key), n)`` expression the write path uses
-    (lake/write.py::bucket_expr), as a constant-folded local plan
-    (LocalTableScan: no executor work, sub-ms)."""
+    """Driver-side bucket id for a key value — the SAME
+    ``pmod(xxhash64(key), n)`` the write path computes
+    (lake/write.py::bucket_expr).  String keys hash in pure Python
+    (lake/xxh.py, bit-for-bit Spark-verified — microseconds, NO Spark
+    job, so interactive/high-volume lookups never touch the JVM);
+    other key types fall back to evaluating the actual Spark
+    expression on a one-row plan (~100 ms)."""
+    if isinstance(key, str):
+        from .xxh import bucket_of
+
+        return bucket_of(key, num_buckets)
     from .write import bucket_expr
 
     return int(

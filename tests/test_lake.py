@@ -342,3 +342,25 @@ def test_lookup_point_query_prunes_to_one_bucket(spark, tmp_table):
     after = lookup(spark, t, "c3")
     assert len(after.inputFiles()) == n_before  # z-files skipped by stats
     assert sorted(after.collect()) == sorted(got.collect())
+
+
+def test_python_xxh64_matches_spark(spark):
+    """lake/xxh.py must reproduce Spark's xxhash64 bit-for-bit — the
+    bucket contract between pure-Python lookups and the JVM write path
+    depends on it.  Covers every XXH64 code path: empty, <4, 4-7, 8-31,
+    >=32 bytes, multi-byte UTF-8."""
+    from stellar_ingest.lake.xxh import bucket_of, xxh64_signed
+
+    keys = (
+        [f"conv{i:06d}" for i in range(50)]
+        + ["", "a", "abc", "abcd", "abcdefg", "abcdefgh", "x" * 31, "y" * 32]
+        + ["z" * 33, "w" * 64, "v" * 100, "日本語テキスト", "émoji🙂", "tab\tnl\n"]
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "k string").select(
+        "k",
+        F.xxhash64("k").alias("h"),
+        F.pmod(F.xxhash64("k"), F.lit(16)).cast("int").alias("b"),
+    )
+    for r in df.collect():
+        assert xxh64_signed(r["k"].encode("utf-8")) == r["h"], repr(r["k"])
+        assert bucket_of(r["k"], 16) == r["b"], repr(r["k"])
