@@ -187,6 +187,7 @@ def run_increment(
     format_version: int = 2,
     mode: str = "cow",
     fold_min_deltas: int | None = None,
+    fold_max_buckets: int | None = None,
     salt_threshold: int = DEFAULT_HOT_THRESHOLD,
 ) -> list[dict]:
     """Drain the ledger in micro-batches (availableNow semantics);
@@ -200,8 +201,11 @@ def run_increment(
     tables).  ``fold_min_deltas``: in MoR mode, after each epoch fold
     buckets holding deltas from at least this many distinct commits
     back to one resolved file (None = never; the operator compacts on
-    their own schedule).  Both modes produce byte-identical resolved state
-    (tests/test_replay.py proves fingerprint equality)."""
+    their own schedule); ``fold_max_buckets`` bounds each in-loop fold
+    to the K most-indebted buckets so fold cost spreads across epochs
+    instead of one epoch absorbing a full-table fold.  Both modes
+    produce byte-identical resolved state (tests/test_replay.py proves
+    fingerprint equality)."""
     from concurrent.futures import ThreadPoolExecutor
 
     if mode not in ("cow", "mor"):
@@ -373,7 +377,12 @@ def run_increment(
                 # anywhere inside it leaves a consistent, resumable table
                 from ..lake.maintain import fold_deltas
 
-                fold_deltas(spark, table, min_delta_commits=fold_min_deltas)
+                fold_deltas(
+                    spark,
+                    table,
+                    min_delta_commits=fold_min_deltas,
+                    max_buckets=fold_max_buckets,
+                )
             epochs_done += 1
     finally:
         pool.shutdown(wait=False, cancel_futures=True)

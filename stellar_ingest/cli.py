@@ -50,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--salts", type=_salts, default="auto")
         p.add_argument("--mode", choices=("cow", "mor"), default="cow")
         p.add_argument("--fold-min-deltas", type=int, default=None)
+        p.add_argument("--fold-max-buckets", type=int, default=None)
         if name == "run":
             p.add_argument("--max-segments-per-part", type=int, default=None)
             p.add_argument("--max-epochs", type=int, default=None)
@@ -76,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     f = sub.add_parser("fold", parents=[common])
     f.add_argument("--table", required=True)
     f.add_argument("--min-delta-commits", type=int, default=2)
+    f.add_argument("--max-buckets", type=int, default=None)
 
     gc = sub.add_parser("gc")
     gc.add_argument("--table", required=True)
@@ -159,7 +161,12 @@ def main(argv: list[str] | None = None) -> int:
         from .lake.maintain import delta_counts, fold_deltas
 
         t = IceboxTable(args.table)
-        sid = fold_deltas(spark, t, min_delta_commits=args.min_delta_commits)
+        sid = fold_deltas(
+            spark,
+            t,
+            min_delta_commits=args.min_delta_commits,
+            max_buckets=args.max_buckets,
+        )
         remaining = sum(c["commits"] for c in delta_counts(t).values())
         print(json.dumps({"snapshot_id": sid, "remaining_delta_commits": remaining}))
         return 0
@@ -200,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
         num_buckets=args.num_buckets,
         mode=args.mode,
         fold_min_deltas=args.fold_min_deltas,
+        fold_max_buckets=args.fold_max_buckets,
     )
     if args.cmd == "backfill":
         recs = backfill(spark, args.ledger, args.table, args.checkpoint, **kwargs)

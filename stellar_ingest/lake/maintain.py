@@ -132,6 +132,7 @@ def fold_deltas(
     table: IceboxTable,
     *,
     min_delta_commits: int = 2,
+    max_buckets: int | None = None,
 ) -> int | None:
     """Compact merge-on-read deltas: rewrite every bucket holding
     deltas from at least ``min_delta_commits`` distinct commits down to
@@ -142,12 +143,21 @@ def fold_deltas(
     file fan-out (a single epoch can write up to 8 files per bucket).
     Fingerprint-equal by construction, fence carried forward like any
     compaction.  Returns the new snapshot id, or None when no bucket
-    crossed the policy."""
+    crossed the policy.
+
+    ``max_buckets`` bounds one fold's work (latency smoothing for
+    in-loop folds: instead of one epoch absorbing a full-table fold —
+    measured ≈ a COW epoch, BENCH/BASELINE.md §r3 — each epoch folds at
+    most K buckets, most-indebted first, so fold cost spreads evenly
+    across epochs while total work is unchanged)."""
+    counts = delta_counts(table)
     target = sorted(
-        b
-        for b, c in delta_counts(table).items()
-        if c["commits"] >= min_delta_commits
+        (b for b, c in counts.items() if c["commits"] >= min_delta_commits),
+        key=lambda b: (-counts[b]["commits"], b),
     )
+    if max_buckets is not None:
+        target = target[:max_buckets]
+    target = sorted(target)
     if not target:
         return None
     return compact(spark, table, buckets=target, min_files_per_bucket=1)

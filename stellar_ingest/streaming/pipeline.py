@@ -88,6 +88,7 @@ def run_streaming(
     available_now: bool = True,
     mode: str = "cow",
     fold_min_deltas: int | None = None,
+    fold_max_buckets: int | None = None,
 ):
     """Drain the ledger through Structured Streaming into the icebox
     table.  One snapshot per micro-batch; epoch = SS batch id + 1.
@@ -202,7 +203,12 @@ def run_streaming(
             # epoch/ss_batch_id, so the fence stays intact across it
             from ..lake.maintain import fold_deltas
 
-            fold_deltas(spark, table, min_delta_commits=fold_min_deltas)
+            fold_deltas(
+                spark,
+                table,
+                min_delta_commits=fold_min_deltas,
+                max_buckets=fold_max_buckets,
+            )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", f"{checkpoint_dir}/ss"

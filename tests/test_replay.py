@@ -495,3 +495,21 @@ def test_update_stream_targets_existing_keys_only(spark):
         (r["conv_id"], r["turn_idx"]) for r in upd.select("conv_id", "turn_idx").distinct().collect()
     }
     assert upd_keys <= pre_keys
+
+
+def test_mor_bounded_fold_smooths_and_reconverges(spark, ledger, golden, tmp_path):
+    """fold_max_buckets bounds each in-loop fold's work (latency
+    smoothing): every fold snapshot compacts at most K buckets, folds
+    pick the most-indebted buckets first, and the final state is still
+    byte-identical to the golden."""
+    table_root = str(tmp_path / "t")
+    run_increment(
+        spark, ledger["dir"], table_root, str(tmp_path / "ck"),
+        max_segments_per_part=2, salts=None, mode="mor",
+        fold_min_deltas=1, fold_max_buckets=2,
+    )
+    t = IceboxTable(table_root)
+    folds = [s for s in t.snapshots() if s["operation"] == "replace"]
+    assert folds, "bounded folds should still run"
+    assert all(len(s["summary"]["compacted_buckets"]) <= 2 for s in folds)
+    assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
