@@ -78,7 +78,10 @@ def run_steady_state(
         base_ledger = os.path.join(work, "ledger_base")
         write_ledger(ev, base_ledger, n_convs=n_convs, seg_span=ks)
         epochs: dict[str, list[float]] = {}
-        for name, mode, fold_min in modes:
+        for spec in modes:
+            # (name, mode, fold_min[, fold_max_buckets])
+            name, mode, fold_min = spec[0], spec[1], spec[2]
+            fold_max = spec[3] if len(spec) > 3 else None
             mdir = os.path.join(work, name.replace("+", "_"))
             ledger = os.path.join(mdir, "ledger")
             table = os.path.join(mdir, "table")
@@ -105,7 +108,7 @@ def run_steady_state(
                     spark, ledger, table, ck,
                     max_segments_per_part=None, max_epochs=1, salts=None,
                     num_buckets=num_buckets, mode=mode,
-                    fold_min_deltas=fold_min,
+                    fold_min_deltas=fold_min, fold_max_buckets=fold_max,
                 )
                 walls.append(time.monotonic() - t0)
             epochs[name] = [round(inc_events / w, 1) for w in walls]
