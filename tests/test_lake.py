@@ -364,3 +364,30 @@ def test_python_xxh64_matches_spark(spark):
     for r in df.collect():
         assert xxh64_signed(r["k"].encode("utf-8")) == r["h"], repr(r["k"])
         assert bucket_of(r["k"], 16) == r["b"], repr(r["k"])
+
+
+def test_lookup_many_matches_filter_and_prunes(spark, tmp_table):
+    """Batched lookup: result ≡ full-scan isin filter; reads only the
+    requested keys' buckets; file pruning still applies per bucket."""
+    from stellar_ingest.lake.read import key_bucket, lookup_many
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=8)
+    items = [
+        (f"c{i}", j, "user", f"t{i}.{j}", None, i * 10 + j, i * 10 + j, 0, "U")
+        for i in range(20)
+        for j in range(2)
+    ]
+    append(spark, t, _rows(spark, items))
+    want_keys = ["c3", "c7", "c15"]
+    got = lookup_many(spark, t, want_keys)
+    full = read_live(spark, t)
+    want = full.filter(F.col("conv_id").isin(want_keys))
+    assert sorted(got.collect()) == sorted(want.collect())
+    buckets = {key_bucket(spark, k, t.num_buckets) for k in want_keys}
+    assert 0 < len(got.inputFiles()) <= len(full.inputFiles())
+    assert all(
+        any(f"bucket={b}" in f for b in buckets) for f in got.inputFiles()
+    )
+    # duplicate keys are deduped; unknown keys return nothing extra
+    got2 = lookup_many(spark, t, ["c3", "c3", "nope"])
+    assert sorted(r["conv_id"] for r in got2.collect()) == ["c3", "c3"]
