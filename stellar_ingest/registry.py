@@ -99,36 +99,37 @@ _EXTRA_ORACLE = {
 
 
 #: Driver CORRECTNESS files cap at 50 keys per round (a prefix of this
-#: registry's order).  Round-2 pinned that round's additions first, so
-#: the 18 keys below were last recorded in CORRECTNESS_r01.json — rotate
-#: them to the front for round 3 (round-2 verdict item #2) so every key
-#: has a green row in the union of the two newest driver files.
+#: registry's order), so the priority prefix rotates every round: keys
+#: whose newest green row sits in the OLDER of the two retained driver
+#: files lead the next round's prefix, keeping every key green in the
+#: union of the two newest files.  Round 4: the 23 keys last recorded in
+#: CORRECTNESS_r02.json (= r03 ordering's keys[50:], round-3 verdict
+#: item #1) come first.
 _PRIORITY_KEYS = [
-    # new in round 3 (must appear in the capped prefix)
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q10",
-    "tpch_q18",
-    # last recorded in CORRECTNESS_r01 — rotated forward for round 3
-    "fn_string",
-    "fn_datetime",
-    "fn_math",
-    "fn_conditional",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "fn_hash",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "topk_per_group",
-    "win_ntile",
-    "win_tumbling",
+    # last recorded in CORRECTNESS_r02 — rotated forward for round 4
+    "agg_filtered",
+    "agg_percentiles",
+    "agg_collect_ordered",
+    "agg_fingerprint",
+    "win_rank",
+    "win_lag_lead",
+    "win_running",
+    "win_range_frame",
+    "win_last_nn",
+    "win_sliding",
+    "fn_variant",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "dedup_embedding",
+    "ann_lsh_sig",
+    "multimodal_features",
+    "transcript_repair",
+    "udf_scalar",
+    "udaf_grouped",
+    "udtf_expand",
+    "approx_count_distinct",
+    "win_session",
+    "cdc_transcripts",
 ]
 
 
