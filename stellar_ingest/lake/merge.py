@@ -65,6 +65,12 @@ def _existing_as_changelog(existing: DataFrame) -> DataFrame:
     return existing.select(*cols)
 
 
+def _observed_quarantined(summary: dict) -> int:
+    """Quarantine count bound into the summary by summary_fn (0 when no
+    lineage stats ride the commit)."""
+    return int((summary.get("lineage") or {}).get("quarantined", 0))
+
+
 def _project_to_table(winners: DataFrame, table: IceboxTable) -> DataFrame:
     """Resolved winner rows → the committed table schema (column order +
     NULL-fill for columns evolved after this batch's payload)."""
@@ -88,7 +94,8 @@ def merge_apply(
     summary: dict | None = None,
     summary_fn=None,
     rn_observation=None,
-) -> int:
+    skip_if_noop: bool = False,
+) -> int | None:
     """Apply one changelog batch (validated + HWM-filtered) as a
     copy-on-write MERGE; returns the committed snapshot id.
 
@@ -96,7 +103,13 @@ def merge_apply(
     ran but BEFORE the commit; its dict is merged into the snapshot
     summary.  The runner uses it to bind the epoch's observed lineage
     stats into the same atomic commit (so a torn commit can re-emit
-    lineage from the snapshot alone)."""
+    lineage from the snapshot alone).
+
+    ``skip_if_noop``: return None WITHOUT committing when the batch
+    produced no rows and no quarantine (summary_fn-reported) — the
+    streaming adapter uses this for availableNow's trailing empty flush
+    batch, whose plan must still execute (state-store contract) but must
+    not mint an empty snapshot."""
     meta = table.metadata()
     bcol, nbuckets = meta["bucket_column"], meta["num_buckets"]
     bexpr = bucket_expr(bcol, nbuckets)
@@ -116,6 +129,8 @@ def merge_apply(
             summary = dict(summary or {})
             if summary_fn is not None:
                 summary.update(summary_fn())
+            if skip_if_noop and not _observed_quarantined(summary):
+                return None
             return table.commit(added_files=[], summary=summary, operation="merge")
 
     existing = scan(spark, table, buckets=touched or [])
@@ -150,7 +165,8 @@ def delta_apply(
     summary: dict | None = None,
     summary_fn=None,
     rn_observation=None,
-) -> int:
+    skip_if_noop: bool = False,
+) -> int | None:
     """Merge-on-read commit: resolve the batch WITHIN itself and append
     the winners as *delta* files — no table read, no bucket rewrite, no
     touched-bucket discovery.  Epoch cost is Θ(batch) regardless of
@@ -180,4 +196,6 @@ def delta_apply(
         # the write above was the batch's action — observations attached
         # upstream are filled, same contract as merge_apply
         summary.update(summary_fn())
+    if skip_if_noop and not new_files and not _observed_quarantined(summary):
+        return None
     return table.commit(added_files=new_files, summary=summary, operation="delta")

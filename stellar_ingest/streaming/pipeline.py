@@ -18,27 +18,14 @@ proves for the batch loop).
 from __future__ import annotations
 
 import os
-import shutil
 import time
-
-
-def _parquet_rows(path: str) -> int:
-    """Row count of a parquet dir from footers (driver-side, no job)."""
-    import pyarrow.parquet as pq
-
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
-    return total
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cdc import lineage as lin
 from ..cdc.source import batch_schema, list_segments
-from ..cdc.validate import split_valid
+from ..cdc.validate import split_valid, validity_predicate
 from ..lake.core import IceboxTable
 from ..lake.merge import delta_apply, merge_apply
 from ..schema import CHANGELOG_SCHEMA, ensure_table_schema, table_schema_for
@@ -110,18 +97,17 @@ def run_streaming(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
-        valid, bad = split_valid(batch_df)
         table = IceboxTable(table_root)
         if not table.exists():
             IceboxTable.create(
                 table_root,
-                table_schema_for(valid.schema),
+                table_schema_for(batch_df.schema),
                 num_buckets=num_buckets,
             )
             table = IceboxTable(table_root)
         else:
             # additive evolution, same rule as the batch runner
-            ensure_table_schema(table, table_schema_for(valid.schema))
+            ensure_table_schema(table, table_schema_for(batch_df.schema))
         snap = table.current_snapshot()
         epoch = int(snap["summary"].get("epoch", 0)) if snap else 0
         if snap and int(snap["summary"].get("ss_batch_id", -1)) >= batch_id:
@@ -149,53 +135,50 @@ def run_streaming(
             return
         # validation audit parity with the batch runner (cdc/runner.py):
         # quarantined rows persist to the dead-letter sink and every
-        # batch emits lineage.  The adapter pays two small extra actions
-        # here (SS already materialized the micro-batch; the canonical
-        # batch loop gets the same stats for free via observe()).
-        pstats = [
-            {
-                "src_part": int(r["src_part"]),
-                "lsn_from": int(r["lsn_from"]),
-                "lsn_to": int(r["lsn_to"]),
-                "rows": int(r["rows"]),
-            }
-            for r in valid.groupBy("src_part")
-            .agg(
-                F.min("lsn").alias("lsn_from"),
-                F.max("lsn").alias("lsn_to"),
-                F.count(F.lit(1)).alias("rows"),
-            )
-            .collect()
-        ]
-        # dead-letter write IS the count action (one pass over the bad
-        # branch; n_bad read back from the written footers, driver-side)
-        qdir = os.path.join(checkpoint_dir, "quarantine", f"ss_batch={batch_id}")
-        bad.write.mode("overwrite").parquet(qdir)
-        n_bad = _parquet_rows(qdir)
-        if n_bad == 0:
-            shutil.rmtree(qdir, ignore_errors=True)
-        if not pstats and n_bad == 0:
-            # availableNow + watermarked dedupe emits a trailing empty
-            # flush batch — don't mint an empty snapshot/lineage for it
-            return
+        # batch emits lineage — and the stats ride an `observe` node on
+        # the SAME action that applies the batch (the write), so the
+        # adapter now matches the batch loop's per-epoch job count: one
+        # action, plus a dead-letter write only on batches that actually
+        # had bad rows.  ``parts`` comes from the ledger listing (driver
+        # footer metadata — the batch's rows can only come from listed
+        # segments).
+        parts = sorted({s.src_part for s in list_segments(ledger_dir)})
+        observed, obs = lin.observed_stats(batch_df, validity_predicate(), parts)
+        valid, _ = split_valid(observed)
+        bad = batch_df.filter(~validity_predicate())
+        stash: dict = {}
+
+        def _lineage_summary() -> dict:
+            pstats, n_bad = lin.collect_observed_stats(obs, parts)
+            stash["pstats"], stash["n_bad"] = pstats, n_bad
+            return {"lineage": {"partition_stats": pstats, "quarantined": n_bad}}
+
         apply_fn = delta_apply if mode == "mor" else merge_apply
         sid = apply_fn(
             spark,
             table,
             valid,
-            summary={
-                "epoch": epoch + 1,
-                "ss_batch_id": batch_id,
-                "lineage": {"partition_stats": pstats, "quarantined": n_bad},
-            },
+            summary={"epoch": epoch + 1, "ss_batch_id": batch_id},
+            summary_fn=_lineage_summary,
+            # availableNow + watermarked dedupe emits a trailing empty
+            # flush batch — its plan executes (state-store contract) but
+            # no empty snapshot/lineage is minted for it
+            skip_if_noop=True,
         )
+        if sid is None:
+            return
+        if stash["n_bad"]:
+            qdir = os.path.join(
+                checkpoint_dir, "quarantine", f"ss_batch={batch_id}"
+            )
+            bad.write.mode("overwrite").parquet(qdir)
         lin.emit(
             checkpoint_dir,
             epoch=epoch + 1,
             snapshot_id=sid,
-            partition_stats=pstats,
+            partition_stats=stash["pstats"],
             wall_ms=(time.monotonic() - t0) * 1000.0,
-            quarantined=n_bad,
+            quarantined=stash["n_bad"],
         )
         if mode == "mor" and fold_min_deltas:
             # after the commit + lineage emit, same ordering rationale

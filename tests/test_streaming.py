@@ -149,3 +149,32 @@ def test_streaming_mor_mode_matches_cow(spark, small_ledger):
         num_buckets=4, mode="mor", fold_min_deltas=1,
     )
     assert len(t.snapshots()) == before
+
+
+def test_streaming_adapter_uses_observe_not_collect(spark, tmp_path, monkeypatch):
+    """Per-batch job parity with the batch runner: lineage stats must
+    ride the apply action's observe node.  Any DataFrame.collect()
+    inside the batch body is a second pass over the micro-batch (the
+    round-3 adapter paid one for partition stats) and fails this test."""
+    from pyspark.sql import DataFrame as _DF
+
+    from stellar_ingest.cdc.lineage import read_lineage
+
+    ev = gen_events(spark, 10, parts=2, seed=5)
+    write_ledger(ev, str(tmp_path / "ledger"), n_convs=10, seg_span=keyspace(10))
+    ck = str(tmp_path / "ck")
+
+    def boom(self):
+        raise AssertionError("DataFrame.collect called inside streaming drain")
+
+    monkeypatch.setattr(_DF, "collect", boom)
+    try:
+        run_streaming(
+            spark, str(tmp_path / "ledger"), str(tmp_path / "t"), ck, num_buckets=4
+        )
+    finally:
+        monkeypatch.undo()
+    recs = read_lineage(ck)
+    assert recs and sum(r["rows"] for r in recs) > 0  # stats came via observe
+    live = read_live(spark, IceboxTable(str(tmp_path / "t")))
+    assert live.count() > 0
