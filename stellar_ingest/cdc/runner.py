@@ -185,31 +185,67 @@ def run_increment(
     num_buckets: int = 16,
     crash_hook: Callable[[str], None] | None = None,
     format_version: int = 2,
-    mode: str = "cow",
+    mode: str = "auto",
     fold_min_deltas: int | None = None,
     fold_max_buckets: int | None = None,
     salt_threshold: int = DEFAULT_HOT_THRESHOLD,
+    expire_every: int | None = None,
+    keep_last: int = 10,
+    older_than_ms: int | None = None,
+    gc_every: int | None = None,
+    gc_grace_ms: int = 24 * 3600 * 1000,
 ) -> list[dict]:
     """Drain the ledger in micro-batches (availableNow semantics);
     returns the lineage records emitted.  Resumable: state is entirely
     in ``checkpoint_dir`` + the table's snapshot summaries.
 
     ``mode``: ``"cow"`` (copy-on-write MERGE — rewrites touched buckets,
-    best for backfill / read-heavy tables) or ``"mor"`` (merge-on-read —
+    best for backfill / read-heavy tables), ``"mor"`` (merge-on-read —
     appends resolved delta files, Θ(batch) per epoch regardless of table
     size; the steady-state choice for sustained apply into large
-    tables).  ``fold_min_deltas``: in MoR mode, after each epoch fold
-    buckets holding deltas from at least this many distinct commits
-    back to one resolved file (None = never; the operator compacts on
-    their own schedule); ``fold_max_buckets`` bounds each in-loop fold
-    to the K most-indebted buckets so fold cost spreads across epochs
-    instead of one epoch absorbing a full-table fold.  Both modes
-    produce byte-identical resolved state (tests/test_replay.py proves
-    fingerprint equality)."""
+    tables), or ``"auto"`` (the default): each epoch commits
+    copy-on-write while the table is empty (the backfill epoch — there
+    is nothing to rewrite, COW is one plain write) and merge-on-read
+    once rows exist, so a sustained incremental loop gets the Θ(batch)
+    path WITHOUT the operator knowing the mode flag exists.  The
+    decision reads one metadata field (current snapshot's total_rows) —
+    no Spark job.  Measured: COW into a loaded table collapses 810k →
+    ~50k ev/s while MoR stays flat (BENCH/BASELINE.md §r3), so a
+    scale-unsafe default would penalize exactly the north-star loop
+    shape.
+
+    ``fold_min_deltas``: in MoR epochs, after the commit fold buckets
+    holding deltas from at least this many distinct commits back to one
+    resolved file (None = never — except under ``mode="auto"``, where
+    it defaults to 8 so read-time window depth stays bounded without
+    operator action); ``fold_max_buckets`` bounds each in-loop fold to
+    the K most-indebted buckets (auto default: num_buckets/8) so fold
+    cost spreads across epochs instead of one epoch absorbing a
+    full-table fold.  All modes produce byte-identical resolved state
+    (tests/test_replay.py proves fingerprint equality).
+
+    In-loop retention (the longevity triad — without it an unbounded
+    loop grows O(total-epochs) state: the snapshot list rides
+    metadata.json and is rewritten EVERY commit, version files
+    accumulate one per commit, crash leftovers never reclaim):
+    ``expire_every=E`` runs ``expire_snapshots(keep_last, older_than_ms)``
+    every E epochs (also pruning metadata version files);
+    ``gc_every=G`` runs ``gc_orphans(grace_ms=gc_grace_ms)`` every G
+    epochs.  Both run AFTER the epoch's checkpoint, so the
+    just-committed snapshot is always retained and a crash inside
+    maintenance leaves a consistent, resumable table; the fence-repair
+    path tolerates expired parents by design (_fence_and_repair).
+    tests/test_replay.py::test_longevity_soak proves ~100 epochs with
+    retention+folds interleaved keep metadata bounded and reconverge
+    byte-identically."""
     from concurrent.futures import ThreadPoolExecutor
 
-    if mode not in ("cow", "mor"):
-        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    if mode not in ("auto", "cow", "mor"):
+        raise ValueError(f"mode must be 'auto', 'cow' or 'mor', got {mode!r}")
+    if mode == "auto" and fold_min_deltas is None:
+        fold_min_deltas = 8
+        if fold_max_buckets is None:
+            fold_max_buckets = max(1, num_buckets // 8)
     hook = crash_hook or (lambda point: None)
     table = IceboxTable(table_root)
     all_records: list[dict] = []
@@ -261,6 +297,15 @@ def run_increment(
             new_offsets = dict(ck["offsets"])
             for part, hi in cutoffs.items():
                 new_offsets[part] = max(hi, new_offsets.get(part, -1))
+
+            # mode="auto": decide THIS epoch's commit kind from one
+            # metadata field, BEFORE the table may be created below
+            # (a table created this epoch is the backfill case → cow)
+            if mode == "auto":
+                snap0 = table.current_snapshot() if table.exists() else None
+                epoch_mode = "mor" if snap0 and snap0.get("total_rows", 0) > 0 else "cow"
+            else:
+                epoch_mode = mode
 
             # additive schema evolution BEFORE write (BASELINE.json:6)
             batch_table_schema = table_schema_for(
@@ -315,7 +360,7 @@ def run_increment(
                 max_epochs is None or epochs_done + 1 < max_epochs
             ):
                 prefetched = pool.submit(list_segments, ledger_dir)
-            apply_fn = delta_apply if mode == "mor" else merge_apply
+            apply_fn = delta_apply if epoch_mode == "mor" else merge_apply
             snapshot_id = apply_fn(
                 spark,
                 table,
@@ -371,7 +416,7 @@ def run_increment(
                 },
             )
             hook("post_checkpoint")
-            if mode == "mor" and fold_min_deltas:
+            if epoch_mode == "mor" and fold_min_deltas:
                 # fold AFTER the checkpoint: the fold snapshot carries the
                 # epoch/offsets forward (maintenance summary), so a crash
                 # anywhere inside it leaves a consistent, resumable table
@@ -383,6 +428,17 @@ def run_increment(
                     min_delta_commits=fold_min_deltas,
                     max_buckets=fold_max_buckets,
                 )
+            if expire_every and epoch % int(expire_every) == 0:
+                from ..lake.maintain import expire_snapshots
+
+                expire_snapshots(
+                    table, keep_last=keep_last, older_than_ms=older_than_ms
+                )
+                hook("post_expire")
+            if gc_every and epoch % int(gc_every) == 0:
+                from ..lake.maintain import gc_orphans
+
+                gc_orphans(table, grace_ms=gc_grace_ms)
             epochs_done += 1
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
@@ -398,7 +454,10 @@ def backfill(
     **kwargs,
 ) -> list[dict]:
     """One-shot seed (reference CLI analogue [PK-med]): drain everything
-    available in one epoch."""
+    available in one epoch.  Pinned copy-on-write: a backfill's one big
+    epoch IS the table rewrite, and the result reads without the
+    merge-on-read resolve window."""
     kwargs.setdefault("max_segments_per_part", None)
     kwargs.setdefault("max_epochs", 1)
+    kwargs.setdefault("mode", "cow")
     return run_increment(spark, ledger_dir, table_root, checkpoint_dir, **kwargs)

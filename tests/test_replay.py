@@ -513,3 +513,135 @@ def test_mor_bounded_fold_smooths_and_reconverges(spark, ledger, golden, tmp_pat
     assert folds, "bounded folds should still run"
     assert all(len(s["summary"]["compacted_buckets"]) <= 2 for s in folds)
     assert table_fingerprint(scan(spark, t)) == golden["fingerprint"]
+
+
+# ---------------------------------------------------------------------------
+# scale-safe defaults + in-loop retention (longevity)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_mode_defaults_to_mor_once_loaded(spark, ledger, tmp_path):
+    """mode='auto' (the default): backfill commits copy-on-write, but a
+    sustained incremental epoch into the loaded table commits
+    merge-on-read — Θ(batch), one action (AQE may split it into stage
+    jobs), no table-side scan — with no mode flag from the operator.
+    Evidence: the default epoch's snapshot operation is 'delta', its
+    Spark job count is IDENTICAL to an explicit mode='mor' epoch, and
+    an explicit mode='cow' epoch costs strictly more jobs (the
+    touched-bucket discovery action + the table-side read)."""
+    from stellar_ingest.gen.changelog import append_update_segment, gen_update_stream
+
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    backfill(spark, ledger["dir"], table_root, ck, salts=None)
+    t = IceboxTable(table_root)
+    assert t.current_snapshot()["operation"] == "merge"  # backfill = cow
+
+    # a steady-state drip lands as a new ledger segment
+    upd = gen_update_stream(
+        spark, N_CONVS, n_events=200, lsn_base=10 * KS, parts=4
+    )
+    append_update_segment(upd, ledger["dir"], seg_no=99)
+    try:
+        sc = spark.sparkContext
+
+        def run_epoch(tag, **kw):
+            dst_t, dst_c = str(tmp_path / f"t_{tag}"), str(tmp_path / f"ck_{tag}")
+            shutil.copytree(table_root, dst_t)
+            shutil.copytree(ck, dst_c)
+            sc.setJobGroup(tag, tag)
+            try:
+                recs = run_increment(
+                    spark, ledger["dir"], dst_t, dst_c, max_epochs=1, **kw
+                )
+            finally:
+                sc.setJobGroup("", "")
+            assert recs
+            return (
+                len(sc.statusTracker().getJobIdsForGroup(tag)),
+                IceboxTable(dst_t),
+            )
+
+        n_auto, t_auto = run_epoch("g_auto")  # ALL defaults
+        n_mor, t_mor = run_epoch("g_mor", mode="mor", salts="auto")
+        n_cow, t_cow = run_epoch("g_cow", mode="cow", salts="auto")
+        assert t_auto.snapshots()[-1]["operation"] == "delta"
+        assert n_auto == n_mor, (n_auto, n_mor)
+        assert n_cow > n_auto, (n_cow, n_auto)
+        # all three reconverge to the same resolved state
+        fp_auto = table_fingerprint(scan(spark, t_auto))
+        assert fp_auto == table_fingerprint(scan(spark, t_mor))
+        assert fp_auto == table_fingerprint(scan(spark, t_cow))
+    finally:
+        for p in range(4):
+            shutil.rmtree(
+                ledger["dir"] + f"/part={p}/seg=99", ignore_errors=True
+            )
+
+
+def test_longevity_soak_bounded_metadata(spark, tmp_path):
+    """~100-epoch sustained loop with in-loop retention (expiry + GC)
+    and auto folds: metadata stays bounded (snapshots, version files,
+    manifests), the final state is byte-identical to a one-shot
+    backfill, and the exactly-once fence still repairs after old
+    snapshots were expired."""
+    import os
+
+    from stellar_ingest.cdc import checkpoint as ckpt
+
+    n_convs = 30
+    ks = keyspace(n_convs)
+    ledger_dir = str(tmp_path / "ledger")
+    ev = gen_events(spark, n_convs, parts=2, seed=11)
+    # tiny segments → one segment per part per epoch → ~100 epochs
+    write_ledger(ev, ledger_dir, n_convs=n_convs, seg_span=max(1, (3 * ks) // 100))
+
+    table_root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    recs = run_increment(
+        spark, ledger_dir, table_root, ck,
+        max_segments_per_part=1, salts=None, num_buckets=4,
+        expire_every=5, keep_last=3, gc_every=7, gc_grace_ms=0,
+    )
+    epochs = sorted({r["epoch"] for r in recs})
+    assert len(epochs) >= 60, len(epochs)  # genuinely a long loop
+    t = IceboxTable(table_root)
+
+    # (a) bounded metadata: snapshots ≤ keep_last + commits since the
+    # last expiry (≤ expire_every epochs + their folds); version files
+    # pruned; manifest files only for retained snapshots
+    assert len(t.snapshots()) <= 3 + 2 * 5, len(t.snapshots())
+    meta_files = os.listdir(t.meta_dir)
+    vfiles = [f for f in meta_files if f.endswith(".metadata.json")]
+    assert len(vfiles) <= 3 + 2 * 5, len(vfiles)
+    assert len(meta_files) < 150, len(meta_files)
+    # data files bounded too (expiry deleted rewritten/expired files)
+    n_live = len(t.files())
+    n_on_disk = sum(
+        1 for root, _d, fs in os.walk(t.data_dir) for f in fs if f.endswith(".parquet")
+    )
+    assert n_on_disk <= n_live + 40, (n_on_disk, n_live)
+
+    # (b) correctness: byte-identical to a one-shot backfill
+    golden_root = str(tmp_path / "g")
+    backfill(spark, ledger_dir, golden_root, str(tmp_path / "gck"), salts=None)
+    assert table_fingerprint(scan(spark, t)) == table_fingerprint(
+        scan(spark, IceboxTable(golden_root))
+    )
+
+    # (c) fence repair still works though old snapshots are long expired:
+    # roll the checkpoint one epoch back (simulates crash before
+    # checkpoint-write) and restart — the fence must repair forward from
+    # the snapshot summary, not re-apply
+    cur = ckpt.load(ck)
+    fp_before = table_fingerprint(scan(spark, t))
+    stale = dict(cur)
+    stale["epoch"] = cur["epoch"] - 1
+    ckpt.save(ck, stale)
+    more = run_increment(
+        spark, ledger_dir, table_root, ck,
+        max_segments_per_part=1, salts=None, num_buckets=4,
+    )
+    assert ckpt.load(ck)["epoch"] >= cur["epoch"]
+    assert table_fingerprint(scan(spark, t)) == fp_before
+    assert more == []  # nothing new applied — repair only

@@ -152,3 +152,42 @@ def test_auto_salts_costs_no_extra_job(spark, tmp_path):
     n_auto = jobs_for("auto", "grp_auto")
     n_plain = jobs_for(None, "grp_plain")
     assert n_auto == n_plain
+
+
+def test_mor_salted_whale_matches_plain(spark, tmp_path):
+    """Skew × merge-on-read composition: a hot conversation inside a
+    steady-state MoR update stream must (a) reconverge fingerprint-equal
+    under salted, unsalted, and auto salting, (b) resolve the whale to
+    its true last writer, and (c) keep the read-side window bounded —
+    the resolve window applies only to multi-commit delta buckets and a
+    fold removes it entirely."""
+    from stellar_ingest.lake.maintain import fold_deltas
+
+    df = _whale_ledger_df(spark, 3000)
+    ledger = str(tmp_path / "ledger")
+    _write_whale_ledger(spark, df, ledger)
+    fps = {}
+    for tag, salts in [("plain", None), ("salted", 16), ("auto", "auto")]:
+        t_root = str(tmp_path / f"t_{tag}")
+        run_increment(
+            spark, ledger, t_root, str(tmp_path / f"ck_{tag}"),
+            max_segments_per_part=1, salts=salts, num_buckets=8,
+            mode="mor", salt_threshold=400,
+        )
+        t = IceboxTable(t_root)
+        assert all(s["operation"] in ("delta", "replace") for s in t.snapshots())
+        fps[tag] = table_fingerprint(scan(spark, t))
+    assert fps["plain"] == fps["salted"] == fps["auto"]
+    t = IceboxTable(str(tmp_path / "t_salted"))
+    live = read_live(spark, t)
+    whale = live.filter(F.col("conv_id") == "whale").collect()
+    assert len(whale) == 1 and whale[0]["text"] == "w/v1499"
+    # bounded read window: present while the whale's bucket holds
+    # multi-commit deltas, gone after the fold — and the fold does not
+    # disturb the resolved state
+    plan = scan(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    fold_deltas(spark, t, min_delta_commits=1)
+    plan2 = scan(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan2
+    assert table_fingerprint(scan(spark, t)) == fps["salted"]
