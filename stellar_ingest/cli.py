@@ -4,10 +4,11 @@ CLI + long-running service [PK-med]).
 Usage (spark-submit --py-files stellar_ingest.zip)::
 
     python -m stellar_ingest.cli backfill --ledger L --table T --checkpoint C \
-        [--mode cow|mor] [--fold-min-deltas K]
+        [--mode auto|cow|mor] [--fold-min-deltas K]
     python -m stellar_ingest.cli run      --ledger L --table T --checkpoint C \
         [--max-segments-per-part N] [--max-epochs K] [--salts auto|none|INT] \
-        [--mode cow|mor] [--fold-min-deltas K]
+        [--mode auto|cow|mor] [--fold-min-deltas K] \
+        [--expire-every E --keep-last N [--older-than-ms MS]] [--gc-every G]
     python -m stellar_ingest.cli gen      --out L --convs N [--parts P]
     python -m stellar_ingest.cli show     --table T [--snapshot ID]
     python -m stellar_ingest.cli compact  --table T [--min-files N]
@@ -15,7 +16,9 @@ Usage (spark-submit --py-files stellar_ingest.zip)::
     python -m stellar_ingest.cli expire   --table T [--keep-last N] [--older-than-ms MS]
     python -m stellar_ingest.cli gc       --table T [--grace-ms MS]
     python -m stellar_ingest.cli changes  --table T --since SNAPSHOT_ID
-    python -m stellar_ingest.cli lookup   --table T --key CONV_ID [--snapshot ID]
+    python -m stellar_ingest.cli lookup   --table T --key CONV_ID [--snapshot ID] [--fast]
+    python -m stellar_ingest.cli tag      --table T --name N [--snapshot ID] [--drop]
+    python -m stellar_ingest.cli rescale  --table T --num-buckets N
 """
 
 from __future__ import annotations
@@ -48,12 +51,21 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--checkpoint", required=True)
         p.add_argument("--num-buckets", type=int, default=64)
         p.add_argument("--salts", type=_salts, default="auto")
-        p.add_argument("--mode", choices=("cow", "mor"), default="cow")
+        p.add_argument(
+            "--mode",
+            choices=("auto", "cow", "mor"),
+            default="auto" if name == "run" else "cow",
+        )
         p.add_argument("--fold-min-deltas", type=int, default=None)
         p.add_argument("--fold-max-buckets", type=int, default=None)
         if name == "run":
             p.add_argument("--max-segments-per-part", type=int, default=None)
             p.add_argument("--max-epochs", type=int, default=None)
+            p.add_argument("--expire-every", type=int, default=None)
+            p.add_argument("--keep-last", type=int, default=10)
+            p.add_argument("--older-than-ms", type=int, default=None)
+            p.add_argument("--gc-every", type=int, default=None)
+            p.add_argument("--gc-grace-ms", type=int, default=24 * 3600 * 1000)
 
     g = sub.add_parser("gen", parents=[common])
     g.add_argument("--out", required=True)
@@ -92,8 +104,61 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--table", required=True)
     lk.add_argument("--key", required=True)
     lk.add_argument("--snapshot", type=int, default=None)
+    lk.add_argument(
+        "--fast",
+        action="store_true",
+        help="driver-side pyarrow read (no Spark job; ~10 ms vs ~200 ms)",
+    )
+
+    tg = sub.add_parser("tag")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--snapshot", type=int, default=None)
+    tg.add_argument("--drop", action="store_true")
+
+    rs = sub.add_parser("rescale")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--num-buckets", type=int, required=True)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "rescale":
+        from .lake.core import IceboxTable
+
+        t = IceboxTable(args.table)
+        spec = t.rescale_buckets(args.num_buckets)
+        print(
+            json.dumps(
+                {"spec_id": spec, "num_buckets": args.num_buckets,
+                 "specs": t.bucket_specs()}
+            )
+        )
+        return 0
+
+    if args.cmd == "tag":
+        from .lake.core import IceboxTable
+
+        t = IceboxTable(args.table)
+        if args.drop:
+            t.drop_tag(args.name)
+            print(json.dumps({"dropped": args.name, "refs": t.refs()}))
+        else:
+            sid = t.tag(args.name, args.snapshot)
+            print(json.dumps({"tagged": args.name, "snapshot_id": sid}))
+        return 0
+
+    if args.cmd == "lookup" and args.fast:
+        # no SparkSession at all on this path — serving latency is
+        # file IO, not JVM startup + job scheduling
+        from .lake.core import IceboxTable
+        from .lake.read import lookup_fast
+
+        t = IceboxTable(args.table)
+        pdf = lookup_fast(None, t, args.key, snapshot_id=args.snapshot)
+        for r in pdf.head(50).to_dict("records"):
+            print(r)
+        print(json.dumps({"rows": len(pdf), "fast": True}))
+        return 0
 
     if args.cmd == "show":
         from .lake.core import IceboxTable
@@ -219,6 +284,11 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             max_segments_per_part=args.max_segments_per_part,
             max_epochs=args.max_epochs,
+            expire_every=args.expire_every,
+            keep_last=args.keep_last,
+            older_than_ms=args.older_than_ms,
+            gc_every=args.gc_every,
+            gc_grace_ms=args.gc_grace_ms,
             **kwargs,
         )
     total = sum(r["rows"] for r in recs)

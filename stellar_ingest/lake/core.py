@@ -93,6 +93,32 @@ def commit_tag(path: str) -> str:
     return parts[1] if len(parts) > 1 else path
 
 
+def parse_ref_key(key: str) -> tuple[int, int]:
+    """Manifest-list ref key → (spec_id, bucket).  Plain ``"3"`` keys
+    (every pre-rescale table) are spec 0; post-rescale specs write
+    ``"<spec>:<bucket>"``."""
+    if ":" in key:
+        s, b = key.split(":", 1)
+        return int(s), int(b)
+    return 0, int(key)
+
+
+def ref_key(spec_id: int, bucket: int) -> str:
+    return str(bucket) if spec_id == 0 else f"{spec_id}:{bucket}"
+
+
+def covered_buckets(bucket: int, spec_nb: int, cur_nb: int) -> list[int]:
+    """CURRENT-spec bucket ids a file written under an older spec may
+    hold rows of.  Bucket assignment is ``xxhash64(key) pmod n``, and a
+    rescale multiplies n by an integer factor, so a row in old bucket b
+    (mod n_old) lands in exactly one of {b, b+n_old, b+2·n_old, ...}
+    (mod n_cur) — the congruence class of b.  Same-spec files cover
+    just their own bucket."""
+    if spec_nb == cur_nb:
+        return [bucket]
+    return list(range(bucket, cur_nb, spec_nb))
+
+
 def _atomic_write_json(path: str, obj) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -166,6 +192,56 @@ class IceboxTable:
     def num_buckets(self) -> int:
         return self.metadata()["num_buckets"]
 
+    def bucket_specs(self) -> list[dict]:
+        """Bucket-spec history ``[{spec_id, num_buckets}]`` (Iceberg
+        partition-spec-evolution analogue).  Pre-rescale tables have the
+        implicit single spec 0."""
+        meta = self.metadata()
+        return meta.get(
+            "bucket_specs",
+            [{"spec_id": 0, "num_buckets": meta["num_buckets"]}],
+        )
+
+    def current_spec_id(self) -> int:
+        return self.metadata().get("current_spec_id", 0)
+
+    def rescale_buckets(self, new_num_buckets: int) -> int:
+        """Grow the bucket count (metadata-only commit; returns the new
+        spec id).  ``new_num_buckets`` must be a strict integer multiple
+        of the current count — that keeps every old spec's bucket a
+        congruence class of the new one, so mixed-spec file pruning
+        stays exact (covered_buckets) and old files migrate lazily: any
+        copy-on-write touch or compaction of a descendant bucket rewrites
+        the old-spec file under the current spec.  New writes use the
+        new spec immediately; nothing is rewritten here.
+
+        Requires format v2 (per-bucket manifests).  Shrinking is not
+        supported — at 10^10 events the operational need is always more
+        parallelism/pruning granularity, and growth keeps the congruence
+        invariant one-directional."""
+        meta = self.metadata()
+        if int(meta.get("format_version", 1)) < 2:
+            raise ValueError("bucket rescale requires format_version >= 2")
+        cur = int(meta["num_buckets"])
+        new = int(new_num_buckets)
+        if new <= cur or new % cur != 0:
+            raise ValueError(
+                f"new_num_buckets must be a strict integer multiple of the "
+                f"current count ({cur}), got {new}"
+            )
+        specs = self.bucket_specs()
+        new_id = max(s["spec_id"] for s in specs) + 1
+        specs = specs + [{"spec_id": new_id, "num_buckets": new}]
+        version = self._version()
+        meta["bucket_specs"] = specs
+        meta["current_spec_id"] = new_id
+        meta["num_buckets"] = new
+        _atomic_write_json(
+            os.path.join(self.meta_dir, f"v{version + 1}.metadata.json"), meta
+        )
+        _atomic_write_json(self._hint, {"version": version + 1})
+        return new_id
+
     def schema_fields(self, schema_id: int | None = None) -> list[dict]:
         meta = self.metadata()
         sid = meta["current_schema_id"] if schema_id is None else schema_id
@@ -193,6 +269,57 @@ class IceboxTable:
                 return s
         raise KeyError(f"no snapshot {snapshot_id}")
 
+    def snapshot_as_of(self, ts_ms: int) -> dict:
+        """Newest snapshot committed at or before ``ts_ms`` (epoch
+        millis) — as-of-timestamp time travel, resolved from the
+        ``timestamp_ms`` every snapshot already records.  Raises
+        KeyError when the table has no snapshot that old (e.g. the
+        window was expired by retention)."""
+        cands = [
+            s for s in self.metadata()["snapshots"] if s["timestamp_ms"] <= ts_ms
+        ]
+        if not cands:
+            raise KeyError(
+                f"no snapshot at or before {ts_ms} (earliest retained may "
+                "have been expired)"
+            )
+        return cands[-1]
+
+    # -- named refs (tags) ---------------------------------------------------
+
+    def refs(self) -> dict:
+        """Named snapshot refs ``{tag: snapshot_id}`` (Iceberg tag
+        analogue).  Tagged snapshots are retention anchors:
+        ``expire_snapshots`` never drops them."""
+        return dict(self.metadata().get("refs", {}))
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create/move a named tag (metadata-only commit); ``None`` tags
+        the current snapshot.  Returns the tagged snapshot id."""
+        meta = self.metadata()
+        sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError("cannot tag an empty table (no snapshot)")
+        self.snapshot(sid)  # KeyError if unknown
+        version = self._version()
+        meta.setdefault("refs", {})[name] = sid
+        _atomic_write_json(
+            os.path.join(self.meta_dir, f"v{version + 1}.metadata.json"), meta
+        )
+        _atomic_write_json(self._hint, {"version": version + 1})
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        meta = self.metadata()
+        if name not in meta.get("refs", {}):
+            raise KeyError(f"no tag {name!r}")
+        version = self._version()
+        del meta["refs"][name]
+        _atomic_write_json(
+            os.path.join(self.meta_dir, f"v{version + 1}.metadata.json"), meta
+        )
+        _atomic_write_json(self._hint, {"version": version + 1})
+
     def manifest(self, snapshot_id: int) -> dict:
         """Monolithic v1 manifest for a snapshot (legacy format only)."""
         p = os.path.join(self.meta_dir, f"snap-{snapshot_id}.manifest.json")
@@ -216,10 +343,16 @@ class IceboxTable:
     def files(
         self, snapshot_id: int | None = None, buckets: list[int] | None = None
     ) -> list[dict]:
-        """Data-file entries ``{path, bucket, rows}`` for a snapshot,
-        optionally pruned to a bucket subset.  On format v2 this reads
-        ONLY the requested buckets' manifests — metadata IO is
-        O(touched), the 100-TB requirement."""
+        """Data-file entries ``{path, bucket, rows[, spec_id, delta]}``
+        for a snapshot, optionally pruned to a bucket subset
+        (CURRENT-spec bucket ids).  On format v2 this reads ONLY the
+        requested buckets' manifests — metadata IO is O(touched), the
+        100-TB requirement.  After a bucket rescale, refs written under
+        an older spec are included when their congruence class overlaps
+        the requested buckets (covered_buckets) — pruning stays exact
+        across mixed specs; callers get a SUPERSET of the requested
+        buckets' rows when an old-spec file also holds sibling-bucket
+        rows (scan/lookup filter rows; merge/compact migrate them)."""
         meta = self.metadata()
         sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
         if sid is None:
@@ -227,9 +360,17 @@ class IceboxTable:
         ml = self.manifest_list(sid)
         if ml is not None:
             bset = None if buckets is None else {int(b) for b in buckets}
+            spec_nb = {s["spec_id"]: s["num_buckets"] for s in self.bucket_specs()}
+            cur_nb = int(meta["num_buckets"])
             out: list[dict] = []
-            for b, ref in sorted(ml.items(), key=lambda kv: int(kv[0])):
-                if bset is not None and int(b) not in bset:
+            for key, ref in sorted(
+                ml.items(), key=lambda kv: parse_ref_key(kv[0])
+            ):
+                s, b = parse_ref_key(key)
+                if bset is not None and not any(
+                    cb in bset
+                    for cb in covered_buckets(b, spec_nb.get(s, cur_nb), cur_nb)
+                ):
                     continue
                 out += self._read_bucket_manifest(ref["manifest"])
             return out
@@ -328,46 +469,64 @@ class IceboxTable:
         removed: set[str],
         touched_buckets: list[int] | None,
     ) -> tuple[int, int]:
-        """Write per-bucket manifests for the touched buckets + the
-        manifest list; untouched buckets reference their previous
-        manifest files unread.  Returns (total_files, total_rows)."""
-        added_by_bucket: dict[int, list[dict]] = {}
+        """Write per-(spec, bucket) manifests for the touched refs + the
+        manifest list; untouched refs reference their previous manifest
+        files unread.  Returns (total_files, total_rows).
+
+        ``touched_buckets`` is CURRENT-spec bucket ids; after a rescale
+        it expands to every older spec's covering ref (the same
+        congruence rule ``files()`` prunes with), so removals inside
+        old-spec files are dropped from exactly the manifests that could
+        hold them — commit cost stays O(touched refs)."""
+        added_by_ref: dict[tuple[int, int], list[dict]] = {}
         for e in added_files:
-            added_by_bucket.setdefault(int(e["bucket"]), []).append(e)
+            added_by_ref.setdefault(
+                (int(e.get("spec_id", 0)), int(e["bucket"])), []
+            ).append(e)
 
         prev_list: dict[str, dict] = {}
         if prev_id is not None:
             prev_list = self.manifest_list(prev_id) or {}
 
-        touched = set(added_by_bucket)
+        touched: set[tuple[int, int]] = set(added_by_ref)
         if touched_buckets is not None:
-            touched |= {int(b) for b in touched_buckets}
+            spec_nb = {s["spec_id"]: s["num_buckets"] for s in self.bucket_specs()}
+            cur_nb = int(self.metadata()["num_buckets"])
+            for b in touched_buckets:
+                for s, nb in spec_nb.items():
+                    touched.add((s, int(b) % nb))
         elif removed:
             # caller didn't say where the removals live — inspect all
-            # previous buckets (correct, just not O(touched))
-            touched |= {int(b) for b in prev_list}
+            # previous refs (correct, just not O(touched))
+            touched |= {parse_ref_key(k) for k in prev_list}
 
         new_list: dict[str, dict] = {
-            b: dict(ref) for b, ref in prev_list.items() if int(b) not in touched
+            k: dict(ref)
+            for k, ref in prev_list.items()
+            if parse_ref_key(k) not in touched
         }
-        for b in sorted(touched):
+        for s, b in sorted(touched):
             carried: list[dict] = []
-            prev_ref = prev_list.get(str(b))
+            prev_ref = prev_list.get(ref_key(s, b))
             if prev_ref is not None:
                 carried = [
                     e
                     for e in self._read_bucket_manifest(prev_ref["manifest"])
                     if e["path"] not in removed
                 ]
-            entries = carried + added_by_bucket.get(b, [])
+            entries = carried + added_by_ref.get((s, b), [])
             if not entries:
-                continue  # bucket emptied: drop it from the list
-            fname = f"snap-{new_id}-b{b}.manifest.json"
+                continue  # ref emptied: drop it from the list
+            fname = (
+                f"snap-{new_id}-b{b}.manifest.json"
+                if s == 0
+                else f"snap-{new_id}-s{s}b{b}.manifest.json"
+            )
             _atomic_write_json(
                 os.path.join(self.meta_dir, fname),
-                {"snapshot_id": new_id, "bucket": b, "files": entries},
+                {"snapshot_id": new_id, "bucket": b, "spec_id": s, "files": entries},
             )
-            new_list[str(b)] = {
+            new_list[ref_key(s, b)] = {
                 "manifest": fname,
                 "files": len(entries),
                 "rows": sum(e["rows"] for e in entries),

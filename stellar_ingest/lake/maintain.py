@@ -21,18 +21,38 @@ import time
 
 from pyspark.sql import SparkSession
 
-from .core import IceboxTable, _atomic_write_json, commit_tag
+from .core import (
+    IceboxTable,
+    _atomic_write_json,
+    commit_tag,
+    covered_buckets,
+    parse_ref_key,
+)
 from .read import scan
 from .write import bucket_expr, write_data_files
+
+
+def _spec_map(table: IceboxTable) -> tuple[dict[int, int], int]:
+    """({spec_id: num_buckets}, current num_buckets)."""
+    return (
+        {s["spec_id"]: s["num_buckets"] for s in table.bucket_specs()},
+        int(table.metadata()["num_buckets"]),
+    )
 
 
 def plan_compaction(
     table: IceboxTable, *, min_files_per_bucket: int = 2
 ) -> list[int]:
-    """Buckets whose current file count warrants a rewrite."""
+    """CURRENT-spec buckets whose file count warrants a rewrite (an
+    old-spec file counts toward every bucket of its congruence class —
+    compacting any of them migrates it to the current spec)."""
+    spec_nb, cur_nb = _spec_map(table)
     counts: dict[int, int] = {}
     for e in table.files():
-        counts[e["bucket"]] = counts.get(e["bucket"], 0) + 1
+        for b in covered_buckets(
+            int(e["bucket"]), spec_nb.get(int(e.get("spec_id", 0)), cur_nb), cur_nb
+        ):
+            counts[b] = counts.get(b, 0) + 1
     return sorted(b for b, n in counts.items() if n >= min_files_per_bucket)
 
 
@@ -87,30 +107,39 @@ def _count_delta(entries) -> tuple[int, int]:
 
 
 def delta_counts(table: IceboxTable) -> dict[int, dict]:
-    """Per-bucket merge-on-read debt in the current snapshot:
+    """Per-CURRENT-bucket merge-on-read debt in the current snapshot:
     ``{bucket: {files, commits}}``.  Metadata-only on format v2 (the
     manifest list carries both counts per bucket ref); refs written
     before the fields existed (or format v1) fall back to reading that
     bucket's manifest.  ``commits`` is the policy-relevant number — one
     delta commit may fan out into several files per bucket (write
     salt), and the read-time window depth grows with COMMITS per
-    bucket, not files."""
+    bucket, not files.  After a rescale, an old-spec ref's debt is
+    attributed to every bucket of its congruence class (an upper bound
+    per bucket — exact again once the class is folded/migrated); zeros
+    stay exact, so "no debt" checks are unaffected."""
     meta = table.metadata()
     sid = meta["current_snapshot_id"]
     if sid is None:
         return {}
     ml = table.manifest_list(sid)
+    spec_nb, cur_nb = _spec_map(table)
     out: dict[int, dict] = {}
+
+    def _add(b: int, spec: int, nf: int, nc: int) -> None:
+        for cb in covered_buckets(b, spec_nb.get(spec, cur_nb), cur_nb):
+            cur = out.setdefault(cb, {"files": 0, "commits": 0})
+            cur["files"] += nf
+            cur["commits"] += nc
+
     if ml is not None:
-        for b, ref in ml.items():
+        for key, ref in ml.items():
+            s, b = parse_ref_key(key)
             if "delta_commits" in ref:
-                out[int(b)] = {
-                    "files": int(ref.get("delta_files", 0)),
-                    "commits": int(ref["delta_commits"]),
-                }
+                nf, nc = int(ref.get("delta_files", 0)), int(ref["delta_commits"])
             else:
                 nf, nc = _count_delta(table._read_bucket_manifest(ref["manifest"]))
-                out[int(b)] = {"files": nf, "commits": nc}
+            _add(b, s, nf, nc)
         return out
     by_bucket: dict[int, list] = {}
     for e in table.files(sid):
@@ -180,7 +209,16 @@ def expire_snapshots(
     BOTH beyond the newest ``keep_last`` AND (when ``older_than_ms`` is
     given) older than ``now - older_than_ms`` — time-based policies
     never drop below the keep_last floor, and keep_last alone behaves
-    as before.  ``now_ms`` is a test seam.
+    as before.  Snapshots named by a tag (core.py::tag) are retention
+    anchors and never expire regardless of age.  ``now_ms`` is a test
+    seam.
+
+    Besides snapshots, this prunes metadata VERSION files: every commit
+    writes a fresh ``v{N}.metadata.json``, and in an unbounded ingest
+    loop those would accumulate one per epoch forever — only the
+    version-hint's current file is ever read, so all but the newest few
+    are history and deleted here (the in-loop retention hook makes the
+    metadata directory O(retained snapshots), not O(total epochs)).
 
     Driver-side only; returns {snapshots_expired, data_files_deleted,
     manifests_deleted}."""
@@ -195,9 +233,16 @@ def expire_snapshots(
             len(snaps),
         )
         cut = min(cut, age_cut)
-    if cut <= 0:
+    tagged = set(meta.get("refs", {}).values())
+    expired = [s for s in snaps[:cut] if s["snapshot_id"] not in tagged]
+    kept = [s for s in snaps if s["snapshot_id"] in tagged] + snaps[cut:]
+    kept = sorted(
+        {s["snapshot_id"]: s for s in kept}.values(),
+        key=lambda s: s["snapshot_id"],
+    )
+    if not expired:
+        _prune_metadata_versions(table)
         return {"snapshots_expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
-    kept, expired = snaps[cut:], snaps[:cut]
     assert kept[-1]["snapshot_id"] == meta["current_snapshot_id"]
 
     def _manifest_names(sid: int) -> set[str]:
@@ -251,11 +296,33 @@ def expire_snapshots(
         full = os.path.join(table.meta_dir, name)
         if os.path.exists(full):
             os.remove(full)
+    _prune_metadata_versions(table)
     return {
         "snapshots_expired": len(expired),
         "data_files_deleted": n_data,
         "manifests_deleted": n_manifest,
     }
+
+
+def _prune_metadata_versions(table: IceboxTable, *, keep: int = 3) -> int:
+    """Delete metadata version files older than the newest ``keep``.
+    Safe at any point: only the version the hint names is ever read
+    (core.py::metadata), older files are write-once history.  Keeping a
+    few (not just the current) preserves a forensic window across the
+    last couple of commits."""
+    cur = table._version()
+    n = 0
+    for fn in os.listdir(table.meta_dir):
+        if not (fn.startswith("v") and fn.endswith(".metadata.json")):
+            continue
+        try:
+            v = int(fn[1:].split(".", 1)[0])
+        except ValueError:
+            continue
+        if v <= cur - max(1, keep):
+            os.remove(os.path.join(table.meta_dir, fn))
+            n += 1
+    return n
 
 
 def gc_orphans(

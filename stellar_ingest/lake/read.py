@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schema import KEY_COLS, ORDER_COLS
-from .core import IceboxTable, commit_tag
+from .core import IceboxTable, commit_tag, covered_buckets
 
 #: engine-internal columns carried in every stored row (LWW ordering +
 #: lineage); user-facing reads drop them.
@@ -85,15 +85,25 @@ def scan(
     table: IceboxTable,
     *,
     snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    ref: str | None = None,
     buckets: list[int] | None = None,
     key_equals=None,
 ) -> DataFrame:
     """Full-fidelity scan of one snapshot (includes tombstones + meta
     columns), merge-on-read resolved.  ``snapshot_id=None`` → current;
-    pass an older id for time travel.  ``key_equals`` prunes the file
-    list to files whose manifest key bounds may contain that bucket-key
-    value (point-lookup path; the caller still applies the row-level
-    equality filter)."""
+    pass an older id for time travel, ``as_of_ms`` (epoch millis) to
+    resolve the snapshot by commit time, or ``ref`` to read a named tag
+    (core.py::tag) — at most one of the three.  ``key_equals`` prunes
+    the file list to files whose manifest key bounds may contain that
+    bucket-key value (point-lookup path; the caller still applies the
+    row-level equality filter)."""
+    if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
+    if ref is not None:
+        snapshot_id = table.refs()[ref]
+    elif as_of_ms is not None:
+        snapshot_id = table.snapshot_as_of(as_of_ms)["snapshot_id"]
     meta = table.metadata()
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
     if sid is None:
@@ -115,14 +125,28 @@ def scan(
         entries = [e for e in entries if any(_may_contain(e, k) for k in keys)]
     if not entries:
         return spark.createDataFrame([], schema)
-    by_bucket: dict[int, list[dict]] = {}
+    # group files by the CURRENT-spec buckets they may hold (after a
+    # bucket rescale an old-spec file covers its whole congruence
+    # class); a file is resolved if ANY bucket it covers can hold
+    # multiple versions — resolving single-version rows that ride along
+    # is a no-op, skipping a multi-version bucket would be wrong
+    spec_nb = {s["spec_id"]: s["num_buckets"] for s in table.bucket_specs()}
+    cur_nb = int(meta["num_buckets"])
+    cover: dict[int, list[dict]] = {}
+    ecov: list[tuple[dict, list[int]]] = []
     for e in entries:
-        by_bucket.setdefault(int(e["bucket"]), []).append(e)
+        cov = covered_buckets(
+            int(e["bucket"]), spec_nb.get(int(e.get("spec_id", 0)), cur_nb), cur_nb
+        )
+        ecov.append((e, cov))
+        for b in cov:
+            cover.setdefault(b, []).append(e)
+    needs = {b for b, es in cover.items() if _needs_resolve(es)}
     plain: list[str] = []
     multi: list[str] = []
-    for es in by_bucket.values():
-        dest = multi if _needs_resolve(es) else plain
-        dest += [os.path.join(table.root, e["path"]) for e in es]
+    for e, cov in ecov:
+        dest = multi if any(b in needs for b in cov) else plain
+        dest.append(os.path.join(table.root, e["path"]))
     parts: list[DataFrame] = []
     if plain:
         parts.append(spark.read.schema(schema).parquet(*plain))
@@ -134,18 +158,23 @@ def scan(
     return df
 
 
-def key_bucket(spark: SparkSession, key, num_buckets: int) -> int:
+def key_bucket(
+    spark: SparkSession, key, num_buckets: int, *, type_name: str | None = None
+) -> int:
     """Driver-side bucket id for a key value — the SAME
     ``pmod(xxhash64(key), n)`` the write path computes
-    (lake/write.py::bucket_expr).  String keys hash in pure Python
-    (lake/xxh.py, bit-for-bit Spark-verified — microseconds, NO Spark
-    job, so interactive/high-volume lookups never touch the JVM);
-    other key types fall back to evaluating the actual Spark
-    expression on a one-row plan (~100 ms)."""
-    if isinstance(key, str):
-        from .xxh import bucket_of
+    (lake/write.py::bucket_expr).  String/int/long keys hash in pure
+    Python (lake/xxh.py, bit-for-bit Spark-verified — microseconds, NO
+    Spark job, so interactive/high-volume lookups never touch the JVM);
+    ``type_name`` is the icebox type of the bucket column ("int" vs
+    "long" hash differently).  Remaining key types fall back to
+    evaluating the actual Spark expression on a one-row plan (~100 ms)."""
+    from .xxh import bucket_of
 
-        return bucket_of(key, num_buckets)
+    try:
+        return bucket_of(key, num_buckets, type_name)
+    except TypeError:
+        pass
     from .write import bucket_expr
 
     return int(
@@ -153,6 +182,13 @@ def key_bucket(spark: SparkSession, key, num_buckets: int) -> int:
         .withColumn("k", F.lit(key))
         .select(bucket_expr("k", num_buckets).alias("b"))
         .first()["b"]
+    )
+
+
+def _bucket_col_type(table: IceboxTable) -> str | None:
+    col = table.metadata()["bucket_column"]
+    return next(
+        (f["type"] for f in table.schema_fields() if f["name"] == col), None
     )
 
 
@@ -173,7 +209,9 @@ def lookup(
     num_row_groups), independent of table size for fixed bucket count,
     vs O(table) for a naive filter over a full scan."""
     meta = table.metadata()
-    b = key_bucket(spark, key, meta["num_buckets"])
+    b = key_bucket(
+        spark, key, meta["num_buckets"], type_name=_bucket_col_type(table)
+    )
     df = read_live(
         spark, table, snapshot_id=snapshot_id, buckets=[b], key_equals=key
     )
@@ -201,9 +239,12 @@ def lookup_many(
     uniq = list(dict.fromkeys(keys))
     if not uniq:
         raise ValueError("lookup_many needs at least one key")
+    ktype = _bucket_col_type(table)
     by_bucket: dict[int, list] = {}
     for k in uniq:
-        by_bucket.setdefault(key_bucket(spark, k, meta["num_buckets"]), []).append(k)
+        by_bucket.setdefault(
+            key_bucket(spark, k, meta["num_buckets"], type_name=ktype), []
+        ).append(k)
     parts = []
     for b, ks in sorted(by_bucket.items()):
         df = read_live(
@@ -214,6 +255,140 @@ def lookup_many(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_IO_POOL = None
+
+
+def _io_pool():
+    """Shared driver-side file-IO pool (lookup_fast): creating a pool
+    per call costs ~5 ms in thread spawns — more than the reads it
+    parallelizes at serving latencies."""
+    global _IO_POOL
+    if _IO_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _IO_POOL = ThreadPoolExecutor(max_workers=8, thread_name_prefix="icebox-io")
+    return _IO_POOL
+
+
+def lookup_fast(
+    spark: SparkSession,
+    table: IceboxTable,
+    key,
+    *,
+    snapshot_id: int | None = None,
+    max_files: int = 32,
+):
+    """Serving-path point lookup: same result as ``lookup`` (user-facing
+    live rows for one bucket-key value) but read DRIVER-SIDE with
+    pyarrow — no Spark job at all, so latency is file IO (~ms), not job
+    scheduling (~130 ms floor, BENCH §point-lookup).  Returns a pandas
+    DataFrame.
+
+    The pruning is identical to ``lookup`` (pure-Python bucket id →
+    manifest key bounds), so the file list is typically 1-3 files;
+    pyarrow's predicate pushdown then skips non-matching row groups.
+    LWW resolve + tombstone filtering run in pure Python over the
+    handful of surviving rows — correct by the same per-batch-winners
+    argument as ``resolve_stored``, and cheap because a key's version
+    count is bounded by the delta commits since the last fold.  Falls
+    back to ``lookup(...).toPandas()`` when the pruned list exceeds
+    ``max_files`` (a Spark job beats len(files) parallel driver reads)
+    or the key type has no driver-side hash; ``spark`` may be None and
+    is only materialized (lazily) on that fallback."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .xxh import bucket_of
+
+    def _fallback():
+        s = spark
+        if s is None:
+            from ..session import get_spark
+
+            s = get_spark("stellar-lookup")
+        return lookup(s, table, key, snapshot_id=snapshot_id).toPandas()
+
+    meta = table.metadata()
+    col = meta["bucket_column"]
+    try:
+        b = bucket_of(key, meta["num_buckets"], _bucket_col_type(table))
+    except TypeError:
+        return _fallback()
+    sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
+    schema = (
+        table.schema_struct()
+        if snapshot_id is None
+        else table.schema_struct(table.snapshot(sid)["schema_id"])
+    )
+    user_cols = [f.name for f in schema.fields if f.name not in META_COLS]
+    if sid is None:
+        return pd.DataFrame(columns=user_cols)
+    entries = [e for e in table.files(sid, [b]) if _may_contain(e, key)]
+    if len(entries) > max_files:
+        return _fallback()
+
+    # per-file: skip row groups by footer min/max stats (the same skip
+    # Spark's scan gets from parquet), decode only surviving groups,
+    # then one vectorized Arrow equality filter.  Manual stats-skip +
+    # filter measured ~2x faster than pq.read_table(filters=...)'s
+    # dataset machinery; files read on a shared thread pool so latency
+    # is ~the slowest single file, not the sum.  The surviving rows are
+    # a handful (one conversation), so they leave Arrow as plain dicts —
+    # pandas conversion per file costs more than the rows themselves.
+    import pyarrow.compute as pc
+
+    def _read_matching(path: str) -> list[dict]:
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            idx = None
+        rgs = range(md.num_row_groups)
+        if idx is not None:
+            def _may(st):
+                if st is None or not st.has_min_max:
+                    return True
+                try:
+                    return st.min <= key <= st.max
+                except TypeError:
+                    return True
+            rgs = [i for i in rgs if _may(md.row_group(i).column(idx).statistics)]
+        if not rgs:
+            return []
+        t = pf.read_row_groups(list(rgs))
+        if idx is not None:
+            t = t.filter(pc.equal(t.column(col), key))
+        return t.to_pylist()
+
+    paths = [os.path.join(table.root, e["path"]) for e in entries]
+    if len(paths) > 1:
+        chunks = list(_io_pool().map(_read_matching, paths))
+    else:
+        chunks = [_read_matching(p) for p in paths]
+    rows = [r for chunk in chunks for r in chunk]
+    if not rows:
+        return pd.DataFrame(columns=user_cols)
+    # LWW: max (_ts, _lsn, _src_part) per key — always applied (safe for
+    # single-version buckets, required for unfolded multi-commit ones)
+    best: dict = {}
+    for r in rows:
+        k = tuple(r[c] for c in KEY_COLS)
+        ordv = tuple(r[c] for c in ORDER_COLS)
+        cur = best.get(k)
+        if cur is None or ordv > cur[0]:
+            best[k] = (ordv, r)
+    live = sorted(
+        (r for _, r in best.values() if r.get("_op") != "D"),
+        key=lambda r: tuple(r[c] for c in KEY_COLS),
+    )
+    # .get backfills columns evolved after a file was written as NULL —
+    # the same additive-read semantics as the Spark scan
+    return pd.DataFrame(
+        [{c: r.get(c) for c in user_cols} for r in live], columns=user_cols
+    )
 
 
 def read_changes(
@@ -264,12 +439,20 @@ def read_live(
     table: IceboxTable,
     *,
     snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    ref: str | None = None,
     buckets: list[int] | None = None,
     key_equals=None,
 ) -> DataFrame:
     """User-facing view: tombstones filtered out, meta columns dropped."""
     df = scan(
-        spark, table, snapshot_id=snapshot_id, buckets=buckets, key_equals=key_equals
+        spark,
+        table,
+        snapshot_id=snapshot_id,
+        as_of_ms=as_of_ms,
+        ref=ref,
+        buckets=buckets,
+        key_equals=key_equals,
     )
     if "_op" in df.columns:
         df = df.filter(F.col("_op") != F.lit("D"))

@@ -81,7 +81,9 @@ def write_data_files(
         .mode("overwrite")
         .parquet(out)
     )
-    key_col = table.metadata()["bucket_column"]
+    meta = table.metadata()
+    key_col = meta["bucket_column"]
+    cur_spec = int(meta.get("current_spec_id", 0))
     entries = []
     for bdir in sorted(os.listdir(out)):
         if not bdir.startswith("__bucket="):
@@ -96,6 +98,8 @@ def write_data_files(
             if rows == 0:
                 continue
             entry = {"path": os.path.relpath(full, table.root), "bucket": b, "rows": rows}
+            if cur_spec:
+                entry["spec_id"] = cur_spec
             if delta:
                 entry["delta"] = True
             lo, hi = _key_bounds(md, key_col)
@@ -152,11 +156,31 @@ def overwrite_buckets(
 ) -> int:
     """Overwrite-partition sink (op 8): atomically replace the files of
     ``buckets`` with ``df``'s content (which must only hold those
-    buckets)."""
+    buckets).  On a rescaled table the replaced set must be closed over
+    old-spec congruence classes (an old-spec file holds sibling buckets'
+    rows too — replacing only part of its class would drop the rest), so
+    a non-closed request raises instead of losing rows."""
     meta = table.metadata()
+    from .core import covered_buckets
+
+    spec_nb = {s["spec_id"]: s["num_buckets"] for s in table.bucket_specs()}
+    bset = {int(b) for b in buckets}
+    old_files = table.files(buckets=buckets)
+    for e in old_files:
+        cov = covered_buckets(
+            int(e["bucket"]),
+            spec_nb.get(int(e.get("spec_id", 0)), meta["num_buckets"]),
+            meta["num_buckets"],
+        )
+        if not set(cov) <= bset:
+            raise ValueError(
+                f"overwrite of buckets {sorted(bset)} would drop rows of "
+                f"buckets {sorted(set(cov) - bset)} held by old-spec file "
+                f"{e['path']}; include the full congruence class"
+            )
     dfb = df.withColumn("__bucket", bucket_expr(meta["bucket_column"], meta["num_buckets"]))
     entries = write_data_files(dfb, table)
-    removed = {e["path"] for e in table.files(buckets=buckets)}
+    removed = {e["path"] for e in old_files}
     return table.commit(
         added_files=entries,
         removed_paths=removed,

@@ -89,9 +89,30 @@ def xxh64_signed(data: bytes, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def bucket_of(key: str, num_buckets: int) -> int:
-    """``pmod(xxhash64(key), num_buckets)`` for a string key — the
-    write path's bucket assignment (lake/write.py::bucket_expr),
+def key_bytes(key, type_name: str | None = None) -> bytes:
+    """The byte encoding Spark's ``xxhash64`` hashes for a column value:
+    UTF-8 bytes for StringType, 4-byte little-endian two's complement
+    for IntegerType, 8-byte for LongType (both verified bit-for-bit
+    against ``F.xxhash64`` in tests/test_lake.py).  ``type_name`` is the
+    icebox schema type of the column ("string"/"int"/"long") — a Python
+    int alone can't distinguish Spark's int from long, and they hash
+    differently.  Raises TypeError for types without a driver-side
+    encoding (callers fall back to a one-row Spark plan)."""
+    if isinstance(key, bool):
+        raise TypeError("no driver-side xxhash64 encoding for bool keys")
+    if isinstance(key, str):
+        return key.encode("utf-8")
+    if isinstance(key, int):
+        n = 4 if type_name == "int" else 8
+        return (key & ((1 << (8 * n)) - 1)).to_bytes(n, "little")
+    raise TypeError(
+        f"no driver-side xxhash64 encoding for {type(key).__name__} keys"
+    )
+
+
+def bucket_of(key, num_buckets: int, type_name: str | None = None) -> int:
+    """``pmod(xxhash64(key), num_buckets)`` for a string/int/long key —
+    the write path's bucket assignment (lake/write.py::bucket_expr),
     computed without Spark.  Python's ``%`` on a signed value is
     already pmod (result takes the divisor's sign)."""
-    return xxh64_signed(key.encode("utf-8")) % num_buckets
+    return xxh64_signed(key_bytes(key, type_name)) % num_buckets

@@ -391,3 +391,158 @@ def test_lookup_many_matches_filter_and_prunes(spark, tmp_table):
     # duplicate keys are deduped; unknown keys return nothing extra
     got2 = lookup_many(spark, t, ["c3", "c3", "nope"])
     assert sorted(r["conv_id"] for r in got2.collect()) == ["c3", "c3"]
+
+
+def test_python_xxh64_matches_spark_int_long(spark):
+    """Non-string bucket keys: Spark hashes IntegerType as the 4-byte
+    and LongType as the 8-byte little-endian encoding — key_bytes must
+    reproduce both so key_bucket never needs a Spark job for int keys."""
+    from stellar_ingest.lake.xxh import bucket_of, key_bytes, xxh64_signed
+
+    longs = [0, 1, -1, 42, 2**40 + 7, -(2**35), 9223372036854775807, -9223372036854775808]
+    ints = [0, 1, -1, 42, 2147483647, -2147483648, 123456]
+    dfl = spark.createDataFrame([(v,) for v in longs], "k long").select(
+        "k", F.xxhash64("k").alias("h"), F.pmod(F.xxhash64("k"), F.lit(16)).cast("int").alias("b")
+    )
+    for r in dfl.collect():
+        assert xxh64_signed(key_bytes(r["k"], "long")) == r["h"], r["k"]
+        assert bucket_of(r["k"], 16, "long") == r["b"], r["k"]
+    dfi = spark.createDataFrame([(v,) for v in ints], "k int").select(
+        "k", F.xxhash64("k").alias("h"), F.pmod(F.xxhash64("k"), F.lit(16)).cast("int").alias("b")
+    )
+    for r in dfi.collect():
+        assert xxh64_signed(key_bytes(r["k"], "int")) == r["h"], r["k"]
+        assert bucket_of(r["k"], 16, "int") == r["b"], r["k"]
+    # unsupported types raise (key_bucket falls back to a Spark plan)
+    with pytest.raises(TypeError):
+        key_bytes(1.5)
+    with pytest.raises(TypeError):
+        key_bytes(True)
+
+
+def test_as_of_timestamp_and_tags(spark, tmp_table):
+    """As-of-timestamp time travel resolves via snapshot timestamp_ms;
+    tags name snapshots and anchor them against expiry."""
+    import time as _time
+
+    from stellar_ingest.lake.maintain import expire_snapshots
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=4)
+    s1 = append(spark, t, _rows(spark, [("c1", 0, "user", "v1", None, 1, 1, 0, "U")]))
+    _time.sleep(0.05)
+    s2 = append(spark, t, _rows(spark, [("c2", 0, "user", "v2", None, 2, 2, 0, "U")]))
+    _time.sleep(0.05)
+    s3 = append(spark, t, _rows(spark, [("c3", 0, "user", "v3", None, 3, 3, 0, "U")]))
+    ts1 = t.snapshot(s1)["timestamp_ms"]
+    ts2 = t.snapshot(s2)["timestamp_ms"]
+    assert scan(spark, t, as_of_ms=ts1).count() == 1
+    assert scan(spark, t, as_of_ms=ts2).count() == 2
+    assert scan(spark, t, as_of_ms=ts2 - 1).count() == 1  # between s1 and s2
+    assert scan(spark, t, as_of_ms=ts1 + 10**9).count() == 3  # far future → current
+    with pytest.raises(KeyError):
+        t.snapshot_as_of(ts1 - 1)  # before the first snapshot
+    with pytest.raises(ValueError):
+        scan(spark, t, snapshot_id=s1, as_of_ms=ts1)  # mutually exclusive
+
+    # tags: name s1, expire aggressively — the tagged snapshot survives
+    t.tag("golden", s1)
+    assert t.refs() == {"golden": s1}
+    assert scan(spark, t, ref="golden").count() == 1
+    res = expire_snapshots(t, keep_last=1)
+    ids = {s["snapshot_id"] for s in t.snapshots()}
+    assert ids == {s1, s3}  # s2 expired, golden + current kept
+    assert res["snapshots_expired"] == 1
+    assert scan(spark, t, ref="golden").count() == 1  # still readable
+    t.drop_tag("golden")
+    with pytest.raises(KeyError):
+        t.drop_tag("golden")
+    res2 = expire_snapshots(t, keep_last=1)
+    assert {s["snapshot_id"] for s in t.snapshots()} == {s3}
+    assert res2["snapshots_expired"] == 1
+
+
+def test_expire_prunes_metadata_versions(spark, tmp_table):
+    """Every commit writes a v{N}.metadata.json; expire_snapshots must
+    bound that history so an unbounded ingest loop's metadata dir stays
+    O(retained), not O(epochs)."""
+    import os as _os
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=2)
+    for i in range(6):
+        append(spark, t, _rows(spark, [(f"c{i}", 0, "user", f"v{i}", None, i, i, 0, "U")]))
+    n_before = len([f for f in _os.listdir(t.meta_dir) if f.endswith(".metadata.json")])
+    assert n_before >= 7  # create + 6 appends
+    from stellar_ingest.lake.maintain import expire_snapshots
+
+    expire_snapshots(t, keep_last=2)
+    vfiles = sorted(
+        f for f in _os.listdir(t.meta_dir) if f.endswith(".metadata.json")
+    )
+    assert len(vfiles) <= 3
+    # table still fully functional after the prune
+    assert read_live(spark, t).count() == 6
+    append(spark, t, _rows(spark, [("cx", 0, "user", "vx", None, 99, 99, 0, "U")]))
+    assert read_live(spark, t).count() == 7
+
+
+def test_lookup_fast_matches_lookup(spark, tmp_table):
+    """Driver-side pyarrow lookup ≡ Spark lookup on a MoR table with
+    unfolded deltas, tombstones, and an evolved column — including the
+    fallback path (max_files=0 forces it)."""
+    from stellar_ingest.lake.merge import delta_apply
+    from stellar_ingest.lake.read import lookup, lookup_fast
+    from stellar_ingest.schema import CHANGELOG_SCHEMA
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=4)
+    base = [
+        (f"c{i}", j, "user", f"t{i}.{j}", None, i * 10 + j, i * 10 + j, 0, "U")
+        for i in range(8)
+        for j in range(3)
+    ]
+    append(spark, t, _rows(spark, base))
+    # MoR deltas: update c3/0, delete c3/2
+    batch = spark.createDataFrame(
+        [
+            (99, 0, "U", "c3", 0, "user", "t3.0-v2", None, ts(99)),
+            (100, 0, "D", "c3", 2, None, None, None, ts(100)),
+        ],
+        CHANGELOG_SCHEMA,
+    )
+    delta_apply(spark, t, batch, summary={"epoch": 2})
+    # evolved column lands in a later delta (older files lack it)
+    evolved = T.StructType(
+        CHANGELOG_SCHEMA.fields
+        + [T.StructField("tool_version", T.StringType(), True)]
+    )
+    t.evolve_schema(T.StructType([T.StructField("tool_version", T.StringType(), True)]))
+    batch2 = spark.createDataFrame(
+        [(101, 0, "U", "c3", 1, "user", "t3.1-v2", None, ts(101), "v9")], evolved
+    )
+    delta_apply(spark, t, batch2, summary={"epoch": 3})
+
+    for key in ["c3", "c5", "nope"]:
+        want = (
+            lookup(spark, t, key)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        got = (
+            lookup_fast(spark, t, key)
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+            if len(lookup_fast(spark, t, key))
+            else lookup_fast(spark, t, key)
+        )
+        assert list(got.columns) == list(want.columns), key
+        assert got.astype(str).values.tolist() == want.astype(str).values.tolist(), key
+        # fallback path returns the same thing
+        fb = lookup_fast(spark, t, key, max_files=0)
+        assert sorted(map(str, fb.values.tolist())) == sorted(
+            map(str, want.values.tolist())
+        ), key
+    # the resolved/evolved values specifically
+    c3 = lookup_fast(spark, t, "c3").set_index("turn_idx")
+    assert c3.loc[0, "text"] == "t3.0-v2"
+    assert c3.loc[1, "tool_version"] == "v9"
+    assert 2 not in c3.index  # tombstone filtered
