@@ -143,6 +143,108 @@ def q_tpch_q18(spark, sf):
     )
 
 
+def q_tpch_q1(spark, sf):
+    """Pricing-summary shape (Q1): full-table grouped decimal sums +
+    derived averages over (returnflag, linestatus).  Averages are ONE
+    IEEE division of the already-rounded double sums — identical op on
+    both engines, so the hash stays exact (decimal÷count scales differ
+    between engines, double÷long does not)."""
+    li = tbl(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    tax = F.col("l_tax").cast("decimal(8,4)")
+
+    def dbl(c):
+        return c.cast("decimal(38,6)").cast("double")
+
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dbl(F.sum(qty)).alias("sum_qty"),
+            dbl(F.sum(price)).alias("sum_base_price"),
+            dbl(F.sum(price * (1 - disc))).alias("sum_disc_price"),
+            dbl(F.sum(price * (1 - disc) * (1 + tax))).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q6(spark, sf):
+    """Forecast-revenue shape (Q6): the pure scan-bound query — every
+    predicate pushes into the parquet scan, the aggregate is one
+    map-side partial + one row.  The canary for pushdown health."""
+    li = tbl(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(
+        "decimal(8,4)"
+    )
+    return li.agg(
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue")
+    )
+
+
+def q_tpch_q14(spark, sf):
+    """Promotion-effect shape (Q14): conditional aggregate over a
+    fact⋈dim join — promo revenue share for one ship-month.  part is
+    broadcast; the ratio is one double division of rounded sums (same
+    rationale as Q1's averages)."""
+    li = tbl(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = tbl(spark, sf, "part")
+    rev = _revenue()
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("promo"),
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("total"),
+    )
+    return agg.select(
+        (F.lit(100.0) * (F.col("promo") / F.col("total"))).alias("promo_share")
+    )
+
+
+def q_tpch_q19(spark, sf):
+    """Discounted-revenue shape (Q19): disjunctive multi-attribute
+    predicate (brand × size × quantity bands) over lineitem⋈part —
+    the OR-of-ANDs pushes partially into both scans and the join stays
+    a broadcast; exercises boolean predicate simplification."""
+    li = tbl(spark, sf, "lineitem")
+    p = tbl(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#6")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.sum(_revenue()).cast("decimal(38,6)").cast("double").alias("revenue")
+    )
+
+
 ORACLE = {
     "tpch_q3": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
@@ -210,10 +312,68 @@ ORACLE["tpch_q18"] = """
     LIMIT 20
 """
 
+ORACLE["tpch_q1"] = """
+    SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+           sum_disc_price, sum_charge, count_order,
+           sum_qty / count_order AS avg_qty,
+           sum_base_price / count_order AS avg_price
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    )
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE["tpch_q6"] = """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+ORACLE["tpch_q14"] = f"""
+    SELECT 100.0 * (promo / total) AS promo_share
+    FROM (
+        SELECT
+          CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,6)) AS DOUBLE) AS promo,
+          CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
+    )
+"""
+
+ORACLE["tpch_q19"] = f"""
+    SELECT CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#6' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
 QUERIES = {
+    "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
 }

@@ -106,6 +106,11 @@ _EXTRA_ORACLE = {
 #: CORRECTNESS_r02.json (= r03 ordering's keys[50:], round-3 verdict
 #: item #1) come first.
 _PRIORITY_KEYS = [
+    # new in round 4 (must appear in the capped prefix)
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q19",
     # last recorded in CORRECTNESS_r02 — rotated forward for round 4
     "agg_filtered",
     "agg_percentiles",
