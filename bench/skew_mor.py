@@ -75,11 +75,16 @@ def main():
         os.system(f"cp -r {base_ledger} {ledger}")
         t_root, ck = f"{work}/t_{tag}", f"{work}/ck_{tag}"
         backfill(spark, ledger, t_root, ck, salts=None, num_buckets=32)
+        # updates must start ABOVE the preload's high-watermarks (the
+        # ledger's lsn space is much larger than keyspace())
+        from stellar_ingest.cdc import checkpoint as ckpt
+
+        base0 = max(ckpt.load(ck)["offsets"].values()) + 1
         rates = []
         for e in range(epochs):
             upd = whale_stream(
                 spark, n_convs,
-                n_events=per_epoch, lsn_base=10 * ks + e * 2 * per_epoch,
+                n_events=per_epoch, lsn_base=base0 + e * 2 * per_epoch,
                 parts=parts,
             )
             append_update_segment(upd, ledger, seg_no=100 + e)
