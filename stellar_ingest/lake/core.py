@@ -546,6 +546,91 @@ class IceboxTable:
         total_rows = sum(r["rows"] for r in new_list.values())
         return total_files, total_rows
 
+    #: widenings that preserve every value exactly (Iceberg's promotion
+    #: rules for primitives, minus decimal which icebox doesn't store)
+    _WIDEN_OK = {("int", "long"), ("float", "double")}
+
+    #: columns the engine's identity/ordering contract depends on — the
+    #: CDC key, the bucket column, and the meta block can't be renamed
+    #: or retyped without breaking LWW resolution and bucket pruning
+    def _protected_cols(self) -> set[str]:
+        return {
+            self.metadata()["bucket_column"],
+            "conv_id",
+            "turn_idx",
+            "_ts",
+            "_lsn",
+            "_src_part",
+            "_op",
+        }
+
+    def _commit_schema(self, new_fields: list[dict]) -> int:
+        """Append a schema (metadata-only commit), return its id."""
+        meta = self.metadata()
+        version = self._version()
+        schema_id = max(s["schema_id"] for s in meta["schemas"]) + 1
+        meta["schemas"].append({"schema_id": schema_id, "fields": new_fields})
+        meta["current_schema_id"] = schema_id
+        meta["last_column_id"] = max(
+            [f["id"] for f in new_fields] + [meta["last_column_id"]]
+        )
+        _atomic_write_json(
+            os.path.join(self.meta_dir, f"v{version + 1}.metadata.json"), meta
+        )
+        _atomic_write_json(self._hint, {"version": version + 1})
+        return schema_id
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a payload column (metadata-only; column id unchanged —
+        the Iceberg identity rule).  Files written under older schemas
+        keep their physical name; the read path re-aligns them by id
+        (lake/read.py).  Key/bucket/meta columns are protected."""
+        if old in self._protected_cols():
+            raise ValueError(f"cannot rename protected column {old!r}")
+        fields = [dict(f) for f in self.schema_fields()]
+        names = {f["name"] for f in fields}
+        if old not in names:
+            raise KeyError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        return self._commit_schema(fields)
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Widen a payload column's type (int→long, float→double; the
+        exact-value promotions).  Column id unchanged; old files read
+        back through a cast (lake/read.py)."""
+        if name in self._protected_cols():
+            raise ValueError(f"cannot retype protected column {name!r}")
+        fields = [dict(f) for f in self.schema_fields()]
+        for f in fields:
+            if f["name"] == name:
+                if f["type"] == new_type:
+                    return self.metadata()["current_schema_id"]
+                if (f["type"], new_type) not in self._WIDEN_OK:
+                    raise ValueError(
+                        f"cannot widen {name!r} {f['type']} → {new_type}; "
+                        f"allowed: {sorted(self._WIDEN_OK)}"
+                    )
+                f["type"] = new_type
+                return self._commit_schema(fields)
+        raise KeyError(f"no column {name!r}")
+
+    def drop_column(self, name: str) -> int:
+        """Drop a payload column (metadata-only — data files keep the
+        bytes, reads exclude the id).  Re-adding the same NAME later
+        mints a FRESH id, so old values can never resurrect (ids are
+        never reused — the rule that makes rename/drop unambiguous)."""
+        if name in self._protected_cols():
+            raise ValueError(f"cannot drop protected column {name!r}")
+        fields = [dict(f) for f in self.schema_fields()]
+        kept = [f for f in fields if f["name"] != name]
+        if len(kept) == len(fields):
+            raise KeyError(f"no column {name!r}")
+        return self._commit_schema(kept)
+
     def evolve_schema(self, new_fields_spark: T.StructType) -> int:
         """Additive schema evolution (metadata-only commit) — new columns
         get fresh column ids, ids are never reused (Iceberg rule).

@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schema import KEY_COLS, ORDER_COLS
-from .core import IceboxTable, commit_tag, covered_buckets
+from .core import (
+    _TYPE_TO_SPARK,
+    IceboxTable,
+    commit_tag,
+    covered_buckets,
+    fields_to_struct,
+)
 
 #: engine-internal columns carried in every stored row (LWW ordering +
 #: lineage); user-facing reads drop them.
@@ -45,6 +51,76 @@ def _needs_resolve(entries: list[dict]) -> bool:
     if not any(e.get("delta") for e in entries):
         return False
     return len({commit_tag(e["path"]) for e in entries}) > 1
+
+
+def _era_compatible(gfields: list[dict], tfields: list[dict]) -> bool:
+    """True when files of schema era ``gfields`` can be read directly
+    with the target struct (plain name-based read + NULL backfill) —
+    i.e. no rename, no widening, and no dropped-then-readded name
+    collision separates the eras.  Violations need id-based alignment:
+    a renamed column would read NULL by name, and a re-added name with
+    a different id would RESURRECT dropped values."""
+    g_by_id = {f["id"]: f for f in gfields}
+    g_by_name = {f["name"]: f for f in gfields}
+    for t in tfields:
+        g = g_by_id.get(t["id"])
+        if g is not None and (g["name"] != t["name"] or g["type"] != t["type"]):
+            return False
+        gn = g_by_name.get(t["name"])
+        if gn is not None and gn["id"] != t["id"]:
+            return False
+    return True
+
+
+def _read_aligned(
+    spark: SparkSession, table: IceboxTable, entries: list[dict], tfields: list[dict]
+) -> DataFrame:
+    """Read data files projected onto the target schema, aligning by
+    COLUMN ID across schema eras (Iceberg read semantics): renamed
+    columns keep their values, widened columns cast, dropped-then-
+    readded names return NULL for old files (fresh id), and columns
+    added after a file was written backfill NULL.  Files whose era is
+    name-compatible with the target share ONE relation (the common
+    case stays a single scan node); each incompatible era gets its own
+    relation + projection.  Entries without a recorded ``schema_id``
+    (pre-round-4 files) use the name-compatible path — the legacy
+    behavior they were written under."""
+    tstruct = fields_to_struct(tfields)
+    by_era: dict[int, list[str]] = {}
+    for e in entries:
+        by_era.setdefault(int(e.get("schema_id", -1)), []).append(
+            os.path.join(table.root, e["path"])
+        )
+    era_fields = {
+        gsid: table.schema_fields(gsid) for gsid in by_era if gsid != -1
+    }
+    compat_paths: list[str] = []
+    parts: list[DataFrame] = []
+    for gsid, paths in sorted(by_era.items()):
+        if gsid == -1 or _era_compatible(era_fields[gsid], tfields):
+            compat_paths += paths
+            continue
+        g_by_id = {f["id"]: f for f in era_fields[gsid]}
+        df = spark.read.schema(fields_to_struct(era_fields[gsid])).parquet(*paths)
+        cols = []
+        for t in tfields:
+            g = g_by_id.get(t["id"])
+            if g is None:
+                cols.append(
+                    F.lit(None).cast(_TYPE_TO_SPARK[t["type"]]).alias(t["name"])
+                )
+            else:
+                c = F.col(g["name"])
+                if g["type"] != t["type"]:
+                    c = c.cast(_TYPE_TO_SPARK[t["type"]])
+                cols.append(c.alias(t["name"]))
+        parts.append(df.select(*cols))
+    if compat_paths:
+        parts.insert(0, spark.read.schema(tstruct).parquet(*compat_paths))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def resolve_stored(df: DataFrame) -> DataFrame:
@@ -109,12 +185,14 @@ def scan(
     if sid is None:
         return spark.createDataFrame([], table.schema_struct())
     # time travel reads the snapshot's schema; current reads use the
-    # current schema (evolved columns backfill NULL over old files)
-    schema = (
-        table.schema_struct()
+    # current schema (renamed/widened columns align by COLUMN ID per
+    # file era — _read_aligned; added columns backfill NULL)
+    tfields = (
+        table.schema_fields()
         if snapshot_id is None
-        else table.schema_struct(table.snapshot(sid)["schema_id"])
+        else table.schema_fields(table.snapshot(sid)["schema_id"])
     )
+    schema = fields_to_struct(tfields)
     entries = table.files(sid, buckets)
     if key_equals is not None:
         keys = (
@@ -142,16 +220,15 @@ def scan(
         for b in cov:
             cover.setdefault(b, []).append(e)
     needs = {b for b, es in cover.items() if _needs_resolve(es)}
-    plain: list[str] = []
-    multi: list[str] = []
+    plain: list[dict] = []
+    multi: list[dict] = []
     for e, cov in ecov:
-        dest = multi if any(b in needs for b in cov) else plain
-        dest.append(os.path.join(table.root, e["path"]))
+        (multi if any(b in needs for b in cov) else plain).append(e)
     parts: list[DataFrame] = []
     if plain:
-        parts.append(spark.read.schema(schema).parquet(*plain))
+        parts.append(_read_aligned(spark, table, plain, tfields))
     if multi:
-        parts.append(resolve_stored(spark.read.schema(schema).parquet(*multi)))
+        parts.append(resolve_stored(_read_aligned(spark, table, multi, tfields)))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -317,17 +394,38 @@ def lookup_fast(
     except TypeError:
         return _fallback()
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
-    schema = (
-        table.schema_struct()
+    tfields = (
+        table.schema_fields()
         if snapshot_id is None
-        else table.schema_struct(table.snapshot(sid)["schema_id"])
+        else table.schema_fields(table.snapshot(sid)["schema_id"])
     )
-    user_cols = [f.name for f in schema.fields if f.name not in META_COLS]
+    user_cols = [f["name"] for f in tfields if f["name"] not in META_COLS]
     if sid is None:
         return pd.DataFrame(columns=user_cols)
     entries = [e for e in table.files(sid, [b]) if _may_contain(e, key)]
     if len(entries) > max_files:
         return _fallback()
+
+    # per-era (target column → physical column) pairs, aligned by
+    # COLUMN ID like the Spark read path (_read_aligned): renames keep
+    # values, added/dropped-readded columns read None for old files.
+    # Legacy entries without a schema_id align by name (their contract).
+    era_pairs: dict[int, list[tuple[str, str | None]]] = {}
+
+    def _pairs(gsid: int):
+        if gsid not in era_pairs:
+            if gsid == -1:
+                era_pairs[gsid] = [(t["name"], t["name"]) for t in tfields]
+            else:
+                g_by_id = {f["id"]: f for f in table.schema_fields(gsid)}
+                era_pairs[gsid] = [
+                    (
+                        t["name"],
+                        g_by_id[t["id"]]["name"] if t["id"] in g_by_id else None,
+                    )
+                    for t in tfields
+                ]
+        return era_pairs[gsid]
 
     # per-file: skip row groups by footer min/max stats (the same skip
     # Spark's scan gets from parquet), decode only surviving groups,
@@ -339,8 +437,8 @@ def lookup_fast(
     # pandas conversion per file costs more than the rows themselves.
     import pyarrow.compute as pc
 
-    def _read_matching(path: str) -> list[dict]:
-        pf = pq.ParquetFile(path)
+    def _read_matching(entry: dict) -> list[dict]:
+        pf = pq.ParquetFile(os.path.join(table.root, entry["path"]))
         md = pf.metadata
         try:
             idx = md.schema.names.index(col)
@@ -361,13 +459,16 @@ def lookup_fast(
         t = pf.read_row_groups(list(rgs))
         if idx is not None:
             t = t.filter(pc.equal(t.column(col), key))
-        return t.to_pylist()
+        pairs = _pairs(int(entry.get("schema_id", -1)))
+        return [
+            {tn: (r.get(gn) if gn else None) for tn, gn in pairs}
+            for r in t.to_pylist()
+        ]
 
-    paths = [os.path.join(table.root, e["path"]) for e in entries]
-    if len(paths) > 1:
-        chunks = list(_io_pool().map(_read_matching, paths))
+    if len(entries) > 1:
+        chunks = list(_io_pool().map(_read_matching, entries))
     else:
-        chunks = [_read_matching(p) for p in paths]
+        chunks = [_read_matching(e) for e in entries]
     rows = [r for chunk in chunks for r in chunk]
     if not rows:
         return pd.DataFrame(columns=user_cols)

@@ -100,6 +100,9 @@ def write_data_files(
             entry = {"path": os.path.relpath(full, table.root), "bucket": b, "rows": rows}
             if cur_spec:
                 entry["spec_id"] = cur_spec
+            # schema era of this file: lets the read path align renamed /
+            # widened columns by COLUMN ID (Iceberg rule) instead of name
+            entry["schema_id"] = int(meta.get("current_schema_id", 0))
             if delta:
                 entry["delta"] = True
             lo, hi = _key_bounds(md, key_col)
