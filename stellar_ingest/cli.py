@@ -19,6 +19,7 @@ Usage (spark-submit --py-files stellar_ingest.zip)::
     python -m stellar_ingest.cli lookup   --table T --key CONV_ID [--snapshot ID] [--fast]
     python -m stellar_ingest.cli tag      --table T --name N [--snapshot ID] [--drop]
     python -m stellar_ingest.cli rescale  --table T --num-buckets N
+    python -m stellar_ingest.cli evolve   --table T (--rename OLD:NEW | --widen COL:TYPE | --drop COL)
 """
 
 from __future__ import annotations
@@ -120,7 +121,33 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--table", required=True)
     rs.add_argument("--num-buckets", type=int, required=True)
 
+    ev = sub.add_parser("evolve")
+    ev.add_argument("--table", required=True)
+    g2 = ev.add_mutually_exclusive_group(required=True)
+    g2.add_argument("--rename", metavar="OLD:NEW")
+    g2.add_argument("--widen", metavar="COL:TYPE")
+    g2.add_argument("--drop", metavar="COL")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "evolve":
+        from .lake.core import IceboxTable
+
+        t = IceboxTable(args.table)
+        if args.rename:
+            old, new = args.rename.split(":", 1)
+            sid = t.rename_column(old, new)
+        elif args.widen:
+            col, typ = args.widen.split(":", 1)
+            sid = t.widen_column(col, typ)
+        else:
+            sid = t.drop_column(args.drop)
+        print(
+            json.dumps(
+                {"schema_id": sid, "columns": [f["name"] for f in t.schema_fields()]}
+            )
+        )
+        return 0
 
     if args.cmd == "rescale":
         from .lake.core import IceboxTable
