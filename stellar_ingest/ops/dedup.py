@@ -267,6 +267,57 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame, *, max_iter: int = 25
+) -> DataFrame:
+    """Near-dup CLUSTERS from candidate pairs: connected components by
+    iterative min-label propagation — each superstep sets
+    ``label[x] = min(label[x], min over neighbors' labels)`` via one
+    join + one groupBy, with a driver-side convergence check on
+    ``sum(label)`` (monotone non-increasing; equal sum ⇔ fixpoint).
+
+    Scale: supersteps = graph diameter.  Near-dup clusters are small and
+    dense (diameter 2-4 even for 10^10 docs — duplicates of one page all
+    share bands), so the simple propagation IS the scale plan; each
+    superstep shuffles on doc_id only and state is one row per doc.
+    Every superstep's result is ``localCheckpoint``-ed — iterative
+    self-referencing plans otherwise DOUBLE in depth per round and OOM
+    the driver on plan bookkeeping long before data is a problem (use
+    reliable ``checkpoint()`` on clusters where executor loss matters).
+    The alternating-star contraction (Kiveris et al., public
+    literature) drops the round count to O(log n) for pathological
+    graphs — not needed for the dedup workload's bounded diameter.
+
+    Returns (doc_id, cluster_id = min doc_id reachable); singleton docs
+    keep their own id."""
+    und = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    und = und.localCheckpoint()  # the edge set is reused every round
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nb = (
+            und.alias("e")
+            .join(labels.alias("l"), F.col("e.src") == F.col("l.doc_id"))
+            .select(
+                F.col("e.dst").alias("doc_id"),
+                F.col("l.cluster_id").alias("cluster_id"),
+            )
+        )
+        labels = (
+            labels.unionByName(nb)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()  # truncate lineage: flat plan per round
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 # -- oracle-paired queries ---------------------------------------------------
 
 
@@ -292,6 +343,18 @@ def q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_naive(
         tbl(spark, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.3
     )
+
+
+def q_dedup_clusters(spark, sf):
+    """Near-dup cluster assignment (MinHash-LSH pairs → connected
+    components) for a bounded doc slice — the full pipeline a
+    training-data dedup pass runs: shingle → sign → band → pair →
+    cluster → pick canonical per cluster.  Oracle = the same pairs in
+    SQL + a recursive-CTE transitive closure, so the iterative Spark
+    algorithm is checked value-exactly end-to-end."""
+    docs = tbl(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_lsh_pairs(docs)
+    return connected_components(pairs, docs.select("doc_id"))
 
 
 _SHINGLES_SQL = """
@@ -355,6 +418,32 @@ ORACLE = {
         WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.3
     """,
     "dedup_simhash": _simhash_oracle_sql(),
+    "dedup_clusters": f"""
+        WITH RECURSIVE
+        sh AS ({_SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id < 300")}),
+        hashed AS (
+            SELECT doc_id, h, ('0x' || substr(md5(concat_ws(chr(31), h, shingle)), 1, 15))::BIGINT AS hv
+            FROM sh, range(0, {N_MINHASH}) t(h)
+        ),
+        sig AS (SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h),
+        banded AS (
+            SELECT doc_id, CAST(h // {N_MINHASH // LSH_BANDS} AS INT) AS band,
+                   string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS band_sig
+            FROM sig GROUP BY doc_id, band
+        ),
+        pairs AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
 }
 
 QUERIES = {
@@ -362,4 +451,5 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
 }

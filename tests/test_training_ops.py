@@ -113,3 +113,30 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
         assert pref == naive, f"threshold {t}: prefix != naive"
         if t == 0.6:
             assert naive, "expected planted near-dups above 0.6"
+
+
+def test_connected_components_transitive_chain(spark):
+    """a~b and b~c share LSH bands but a and c need not: the cluster
+    must still be {a,b,c} (transitivity), with unrelated docs singleton
+    and min-id canonical labels."""
+    from pyspark.sql import functions as F
+
+    from stellar_ingest.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8), (8, 7)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 8, 9]], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7, 9: 7}
+
+    # long chain (diameter > a couple supersteps) still converges
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 30)], "doc_a long, doc_b long"
+    )
+    cnodes = spark.createDataFrame([(i,) for i in range(20, 31)], "doc_id long")
+    got2 = connected_components(chain, cnodes).collect()
+    assert {r["cluster_id"] for r in got2} == {20}
