@@ -76,6 +76,11 @@ def run_streaming(
     mode: str = "cow",
     fold_min_deltas: int | None = None,
     fold_max_buckets: int | None = None,
+    expire_every: int | None = None,
+    keep_last: int = 10,
+    older_than_ms: int | None = None,
+    gc_every: int | None = None,
+    gc_grace_ms: int = 24 * 3600 * 1000,
 ):
     """Drain the ledger through Structured Streaming into the icebox
     table.  One snapshot per micro-batch; epoch = SS batch id + 1.
@@ -86,7 +91,10 @@ def run_streaming(
     holding deltas from ≥K commits after each batch, AFTER the
     snapshot commit so a crash inside the fold leaves a consistent,
     resumable table (the fence keys on ss_batch_id, which the fold's
-    carried-forward summary preserves)."""
+    carried-forward summary preserves).  ``expire_every``/``gc_every``
+    run snapshot expiry / orphan GC every K batches (after the commit
+    + lineage emit — same in-loop retention contract as the batch
+    runner, so a long-lived stream keeps metadata O(retained))."""
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     stream = with_stream_dedupe(
@@ -192,6 +200,14 @@ def run_streaming(
                 min_delta_commits=fold_min_deltas,
                 max_buckets=fold_max_buckets,
             )
+        if expire_every and (epoch + 1) % int(expire_every) == 0:
+            from ..lake.maintain import expire_snapshots
+
+            expire_snapshots(table, keep_last=keep_last, older_than_ms=older_than_ms)
+        if gc_every and (epoch + 1) % int(gc_every) == 0:
+            from ..lake.maintain import gc_orphans
+
+            gc_orphans(table, grace_ms=gc_grace_ms)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", f"{checkpoint_dir}/ss"

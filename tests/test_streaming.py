@@ -178,3 +178,39 @@ def test_streaming_adapter_uses_observe_not_collect(spark, tmp_path, monkeypatch
     assert recs and sum(r["rows"] for r in recs) > 0  # stats came via observe
     live = read_live(spark, IceboxTable(str(tmp_path / "t")))
     assert live.count() > 0
+
+
+def test_streaming_inloop_retention_bounds_metadata(spark, tmp_path):
+    """The SS adapter's expire_every/gc_every keep a long-lived stream's
+    metadata bounded, without changing table content or breaking the
+    ss_batch_id fence on restart."""
+    import os
+
+    ev = gen_events(spark, 12, parts=2, seed=9)
+    write_ledger(ev, str(tmp_path / "ledger"), n_convs=12, seg_span=keyspace(12))
+    t_root, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    run_streaming(
+        spark, str(tmp_path / "ledger"), t_root, ck,
+        num_buckets=4, mode="mor", fold_min_deltas=1,
+        expire_every=1, keep_last=1, gc_every=1, gc_grace_ms=0,
+    )
+    t = IceboxTable(t_root)
+    assert len(t.snapshots()) <= 2  # current (+ the fold, if uncompacted)
+    vfiles = [f for f in os.listdir(t.meta_dir) if f.endswith(".metadata.json")]
+    assert len(vfiles) <= 3
+    # content parity with an unretained streaming run
+    run_streaming(
+        spark, str(tmp_path / "ledger"), str(tmp_path / "t_ref"),
+        str(tmp_path / "ck_ref"), num_buckets=4,
+    )
+    assert states_equal(
+        read_live(spark, t), read_live(spark, IceboxTable(str(tmp_path / "t_ref")))
+    )
+    # restart over the same SS checkpoint: fence holds post-expiry
+    before = len(t.snapshots())
+    run_streaming(
+        spark, str(tmp_path / "ledger"), t_root, ck,
+        num_buckets=4, mode="mor", fold_min_deltas=1,
+        expire_every=1, keep_last=1, gc_every=1, gc_grace_ms=0,
+    )
+    assert len(t.snapshots()) == before
