@@ -88,14 +88,40 @@ def bench_cdc(spark, n_convs: int) -> dict:
             )
             walls.append(time.monotonic() - t0)
             epochs = len({r["epoch"] for r in recs})
-            shutil.rmtree(f"{work}/table{trial}", ignore_errors=True)
+            if trial == 0:
+                shutil.rmtree(f"{work}/table{trial}", ignore_errors=True)
         wall = min(walls)
+        # serving-path point lookups on the drained table (best-of-3 per
+        # key over 3 keys): the Spark-job path vs the driver-side pyarrow
+        # path (lake/read.py::lookup_fast — no Spark job at all)
+        from stellar_ingest.lake.core import IceboxTable
+        from stellar_ingest.lake.read import lookup, lookup_fast
+
+        t = IceboxTable(f"{work}/table1")
+        keys = [f"conv{i:06d}" for i in (3, n_convs // 2, n_convs - 1)]
+        lookup(spark, t, keys[0]).collect()
+        lookup_fast(spark, t, keys[0])  # warm both paths
+
+        def _best(fn, k, n=3):
+            best = None
+            for _ in range(n):
+                t0 = time.monotonic()
+                fn(k)
+                dt = (time.monotonic() - t0) * 1000
+                best = dt if best is None else min(best, dt)
+            return best
+
+        lk = [_best(lambda k: lookup(spark, t, k).collect(), k) for k in keys]
+        lf = [_best(lambda k: lookup_fast(spark, t, k), k) for k in keys]
+        shutil.rmtree(f"{work}/table1", ignore_errors=True)
         return {
             "cdc_events": int(n_events),
             "cdc_epochs": epochs,
             "cdc_wall_sec": round(wall, 3),
             "cdc_all_walls": [round(w, 3) for w in walls],
             "cdc_events_per_sec": round(n_events / wall, 1),
+            "lookup_spark_ms": round(sum(lk) / len(lk), 1),
+            "lookup_fast_ms": round(sum(lf) / len(lf), 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -46,6 +46,10 @@ FAMILY_KEYS = [
     "ann_lsh_sig",
     "tpch_q3",
     "tpch_q18",
+    # round-4 additions
+    "tpch_q1",
+    "tpch_q19",
+    "dedup_clusters",
 ]
 
 
