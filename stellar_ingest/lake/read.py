@@ -361,23 +361,43 @@ def lookup_fast(
     live rows for one bucket-key value) but read DRIVER-SIDE with
     pyarrow — no Spark job at all, so latency is file IO (~ms), not job
     scheduling (~130 ms floor, BENCH §point-lookup).  Returns a pandas
-    DataFrame.
+    DataFrame.  Thin wrapper over :func:`lookup_many_fast`."""
+    return lookup_many_fast(
+        spark, table, [key], snapshot_id=snapshot_id, max_files=max_files
+    )
 
-    The pruning is identical to ``lookup`` (pure-Python bucket id →
-    manifest key bounds), so the file list is typically 1-3 files;
-    pyarrow's predicate pushdown then skips non-matching row groups.
-    LWW resolve + tombstone filtering run in pure Python over the
-    handful of surviving rows — correct by the same per-batch-winners
-    argument as ``resolve_stored``, and cheap because a key's version
-    count is bounded by the delta commits since the last fold.  Falls
-    back to ``lookup(...).toPandas()`` when the pruned list exceeds
-    ``max_files`` (a Spark job beats len(files) parallel driver reads)
-    or the key type has no driver-side hash; ``spark`` may be None and
-    is only materialized (lazily) on that fallback."""
+
+def lookup_many_fast(
+    spark: SparkSession,
+    table: IceboxTable,
+    keys,
+    *,
+    snapshot_id: int | None = None,
+    max_files: int = 64,
+):
+    """Batched serving read: live rows for a set of bucket-key values,
+    read DRIVER-SIDE with pyarrow (the feature-store request shape: one
+    request, k entity keys, single-digit-ms budget).
+
+    Pruning is identical to ``lookup_many`` — pure-Python bucket ids,
+    then manifest key bounds restrict to files that may hold ≥1 of that
+    bucket's requested keys; per file, row groups are skipped by footer
+    min/max and one vectorized Arrow ``is_in`` filter keeps only the
+    requested keys.  LWW resolve + tombstone filtering run in pure
+    Python over the surviving handful of rows (per-batch-winners
+    argument, as ``resolve_stored``); schema eras align by column id.
+    Falls back to ``lookup_many(...).toPandas()`` when the pruned list
+    exceeds ``max_files`` or the key type has no driver-side hash;
+    ``spark`` may be None and is only materialized on that fallback."""
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from .xxh import bucket_of
+
+    uniq = list(dict.fromkeys(keys))
+    if not uniq:
+        raise ValueError("lookup_many_fast needs at least one key")
 
     def _fallback():
         s = spark
@@ -385,12 +405,17 @@ def lookup_fast(
             from ..session import get_spark
 
             s = get_spark("stellar-lookup")
-        return lookup(s, table, key, snapshot_id=snapshot_id).toPandas()
+        return lookup_many(s, table, uniq, snapshot_id=snapshot_id).toPandas()
 
     meta = table.metadata()
     col = meta["bucket_column"]
     try:
-        b = bucket_of(key, meta["num_buckets"], _bucket_col_type(table))
+        ktype = _bucket_col_type(table)
+        by_bucket: dict[int, list] = {}
+        for k in uniq:
+            by_bucket.setdefault(
+                bucket_of(k, meta["num_buckets"], ktype), []
+            ).append(k)
     except TypeError:
         return _fallback()
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
@@ -402,8 +427,15 @@ def lookup_fast(
     user_cols = [f["name"] for f in tfields if f["name"] not in META_COLS]
     if sid is None:
         return pd.DataFrame(columns=user_cols)
-    entries = [e for e in table.files(sid, [b]) if _may_contain(e, key)]
-    if len(entries) > max_files:
+    # (entry, that bucket's requested keys): a key belongs to exactly one
+    # bucket, so even when a mixed-spec file is read under two buckets
+    # the per-read key filters are disjoint — no row duplication
+    work: list[tuple[dict, list]] = []
+    for b, ks in sorted(by_bucket.items()):
+        for e in table.files(sid, [b]):
+            if any(_may_contain(e, k) for k in ks):
+                work.append((e, ks))
+    if len(work) > max_files:
         return _fallback()
 
     # per-era (target column → physical column) pairs, aligned by
@@ -429,15 +461,16 @@ def lookup_fast(
 
     # per-file: skip row groups by footer min/max stats (the same skip
     # Spark's scan gets from parquet), decode only surviving groups,
-    # then one vectorized Arrow equality filter.  Manual stats-skip +
+    # then one vectorized Arrow is_in filter.  Manual stats-skip +
     # filter measured ~2x faster than pq.read_table(filters=...)'s
     # dataset machinery; files read on a shared thread pool so latency
     # is ~the slowest single file, not the sum.  The surviving rows are
-    # a handful (one conversation), so they leave Arrow as plain dicts —
-    # pandas conversion per file costs more than the rows themselves.
+    # a handful (the requested conversations), so they leave Arrow as
+    # plain dicts — pandas conversion per file costs more than the rows.
     import pyarrow.compute as pc
 
-    def _read_matching(entry: dict) -> list[dict]:
+    def _read_matching(job: tuple[dict, list]) -> list[dict]:
+        entry, ks = job
         pf = pq.ParquetFile(os.path.join(table.root, entry["path"]))
         md = pf.metadata
         try:
@@ -450,7 +483,7 @@ def lookup_fast(
                 if st is None or not st.has_min_max:
                     return True
                 try:
-                    return st.min <= key <= st.max
+                    return any(st.min <= k <= st.max for k in ks)
                 except TypeError:
                     return True
             rgs = [i for i in rgs if _may(md.row_group(i).column(idx).statistics)]
@@ -458,17 +491,17 @@ def lookup_fast(
             return []
         t = pf.read_row_groups(list(rgs))
         if idx is not None:
-            t = t.filter(pc.equal(t.column(col), key))
+            t = t.filter(pc.is_in(t.column(col), value_set=pa.array(ks)))
         pairs = _pairs(int(entry.get("schema_id", -1)))
         return [
             {tn: (r.get(gn) if gn else None) for tn, gn in pairs}
             for r in t.to_pylist()
         ]
 
-    if len(entries) > 1:
-        chunks = list(_io_pool().map(_read_matching, entries))
+    if len(work) > 1:
+        chunks = list(_io_pool().map(_read_matching, work))
     else:
-        chunks = [_read_matching(e) for e in entries]
+        chunks = [_read_matching(j) for j in work]
     rows = [r for chunk in chunks for r in chunk]
     if not rows:
         return pd.DataFrame(columns=user_cols)

@@ -546,3 +546,48 @@ def test_lookup_fast_matches_lookup(spark, tmp_table):
     assert c3.loc[0, "text"] == "t3.0-v2"
     assert c3.loc[1, "tool_version"] == "v9"
     assert 2 not in c3.index  # tombstone filtered
+
+
+def test_lookup_many_fast_matches_spark(spark, tmp_table):
+    """Batched driver-side lookup ≡ lookup_many across buckets, MoR
+    deltas, tombstones, duplicates and unknown keys — incl. fallback."""
+    from stellar_ingest.lake.merge import delta_apply
+    from stellar_ingest.lake.read import lookup_many, lookup_many_fast
+    from stellar_ingest.schema import CHANGELOG_SCHEMA
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=8)
+    items = [
+        (f"c{i}", j, "user", f"t{i}.{j}", None, i * 10 + j, i * 10 + j, 0, "U")
+        for i in range(20)
+        for j in range(2)
+    ]
+    append(spark, t, _rows(spark, items))
+    batch = spark.createDataFrame(
+        [
+            (900, 0, "U", "c3", 0, "user", "t3.0-v2", None, ts(900)),
+            (901, 0, "D", "c7", 1, None, None, None, ts(901)),
+        ],
+        CHANGELOG_SCHEMA,
+    )
+    delta_apply(spark, t, batch, summary={"epoch": 2})
+    keys = ["c3", "c7", "c15", "c15", "nope"]
+    want = (
+        lookup_many(spark, t, keys)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got = (
+        lookup_many_fast(spark, t, keys)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.astype(str).values.tolist() == want.astype(str).values.tolist()
+    assert "t3.0-v2" in set(got["text"])  # delta resolved
+    assert ("c7", 1) not in set(zip(got["conv_id"], got["turn_idx"]))  # tombstone
+    # fallback path agrees
+    fb = lookup_many_fast(spark, t, keys, max_files=0)
+    assert sorted(map(str, fb.values.tolist())) == sorted(
+        map(str, want.values.tolist())
+    )
