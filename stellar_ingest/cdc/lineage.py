@@ -168,20 +168,54 @@ def last_emitted_epoch(checkpoint_dir: str) -> int | None:
             window *= 2
 
 
-def read_lineage(checkpoint_dir: str) -> list[dict]:
-    """Flat per-(epoch, src_part) records; tolerant of a torn trailing
-    line from a crash mid-append (skipped — its epoch re-emits)."""
+def rotate(checkpoint_dir: str, max_bytes: int) -> str | None:
+    """Roll the active lineage file once it exceeds ``max_bytes`` —
+    renamed to ``lineage.<last_epoch>.jsonl`` (its highest epoch, so
+    archive order is self-describing); appends continue in a fresh
+    file.  MUST be called at a quiescent point (the runner calls it
+    after the epoch's checkpoint save): the fence-replay emit path then
+    either finds its epoch in the NEW file (crash after emit) or is not
+    armed at all (crash after checkpoint), so rotation can never cause
+    a duplicate or dropped epoch.  Returns the archive name, or None
+    when under the threshold."""
     path = os.path.join(checkpoint_dir, LINEAGE_FILE)
-    if not os.path.exists(path):
+    if not os.path.exists(path) or os.path.getsize(path) <= max_bytes:
+        return None
+    last = last_emitted_epoch(checkpoint_dir)
+    if last is None:
+        return None
+    archive = f"lineage.{last}.jsonl"
+    os.replace(path, os.path.join(checkpoint_dir, archive))
+    return archive
+
+
+def read_lineage(checkpoint_dir: str) -> list[dict]:
+    """Flat per-(epoch, src_part) records across rotated archives + the
+    active file (archives sort by their highest epoch); tolerant of a
+    torn trailing line from a crash mid-append (skipped — its epoch
+    re-emits)."""
+    if not os.path.isdir(checkpoint_dir):
         return []
+    archives = sorted(
+        (
+            f
+            for f in os.listdir(checkpoint_dir)
+            if f.startswith("lineage.") and f.endswith(".jsonl") and f != LINEAGE_FILE
+        ),
+        key=lambda f: int(f.split(".")[1]),
+    )
     out: list[dict] = []
-    with open(path) as fh:
-        for line in fh:
-            if not line.strip():
-                continue
-            try:
-                obj = json.loads(line)
-            except json.JSONDecodeError:
-                continue  # torn trailing line from a crash mid-append
-            out.extend(obj["records"]) if "records" in obj else out.append(obj)
+    for name in [*archives, LINEAGE_FILE]:
+        path = os.path.join(checkpoint_dir, name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn trailing line from a crash mid-append
+                out.extend(obj["records"]) if "records" in obj else out.append(obj)
     return out

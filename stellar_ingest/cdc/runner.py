@@ -173,6 +173,32 @@ def _fence_and_repair(
     return ck
 
 
+def _prune_quarantine(checkpoint_dir: str, keep: int) -> int:
+    """Drop all but the newest ``keep`` dead-letter epoch dirs (both the
+    batch loop's ``epoch=N`` and the streaming adapter's
+    ``ss_batch=N`` naming).  Opt-in: quarantined rows are audit
+    evidence; an unbounded loop that never prunes them grows one dir
+    per bad epoch forever."""
+    import shutil
+
+    qroot = os.path.join(checkpoint_dir, "quarantine")
+    if not os.path.isdir(qroot):
+        return 0
+    def _num(d: str) -> int:
+        try:
+            return int(d.split("=", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+    dirs = sorted(
+        (d for d in os.listdir(qroot) if "=" in d), key=_num
+    )
+    n = 0
+    for d in dirs[: max(0, len(dirs) - max(0, keep))]:
+        shutil.rmtree(os.path.join(qroot, d), ignore_errors=True)
+        n += 1
+    return n
+
+
 def run_increment(
     spark: SparkSession,
     ledger_dir: str,
@@ -194,6 +220,8 @@ def run_increment(
     older_than_ms: int | None = None,
     gc_every: int | None = None,
     gc_grace_ms: int = 24 * 3600 * 1000,
+    lineage_rotate_bytes: int | None = None,
+    quarantine_keep: int | None = None,
 ) -> list[dict]:
     """Drain the ledger in micro-batches (availableNow semantics);
     returns the lineage records emitted.  Resumable: state is entirely
@@ -235,6 +263,11 @@ def run_increment(
     just-committed snapshot is always retained and a crash inside
     maintenance leaves a consistent, resumable table; the fence-repair
     path tolerates expired parents by design (_fence_and_repair).
+    ``lineage_rotate_bytes`` rolls the audit log into epoch-named
+    archives past that size (read_lineage reads across archives);
+    ``quarantine_keep`` bounds the dead-letter directory to the newest
+    K epoch dirs (default None: quarantined rows are audit evidence and
+    kept forever — pruning is an explicit operator decision).
     tests/test_replay.py::test_longevity_soak proves ~100 epochs with
     retention+folds interleaved keep metadata bounded and reconverge
     byte-identically."""
@@ -439,6 +472,10 @@ def run_increment(
                 from ..lake.maintain import gc_orphans
 
                 gc_orphans(table, grace_ms=gc_grace_ms)
+            if lineage_rotate_bytes:
+                lin.rotate(checkpoint_dir, int(lineage_rotate_bytes))
+            if quarantine_keep is not None:
+                _prune_quarantine(checkpoint_dir, int(quarantine_keep))
             epochs_done += 1
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
