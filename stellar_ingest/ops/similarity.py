@@ -158,6 +158,118 @@ def lsh_bucketed_candidates(
     )
 
 
+def _assign_cells(vecs: DataFrame, cent: DataFrame, out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid assignment by cosine: broadcast the (tiny)
+    centroid table, score every (vec, cell) pair, keep the argmax via
+    ``max_by`` — one pass over the data, no shuffle of the corpus."""
+    scored = vecs.join(F.broadcast(cent)).select(
+        vecs["*"],
+        F.col("cell").alias("__cell"),
+        cosine_expr(as_double(F.col("embedding")), F.col("centroid")).alias("__cos"),
+    )
+    return scored.groupBy(*[c for c in vecs.columns]).agg(
+        F.max_by("__cell", F.struct("__cos", (-F.col("__cell")).alias("t"))).alias(out_col)
+    )
+
+
+def ivf_train(corpus: DataFrame, *, n_cells: int = 8, iters: int = 3) -> DataFrame:
+    """IVF coarse quantizer: Lloyd's k-means with a DETERMINISTIC
+    hash-sharded init (cell 0..n-1 seeded by the mean of vecs with
+    ``pmod(xxhash64(vec_id), n) = cell`` — spread across the corpus, no
+    RNG, reproducible on any engine/run).  Element-wise centroid means
+    are UDF-free: posexplode the vectors, average per (cell, position),
+    re-assemble with array_agg sorted by position.
+
+    Scale: each Lloyd round is one broadcast-scored pass + one
+    (cell, pos)-keyed aggregation — at 10^10 vectors you train on a
+    deterministic hash sample (``pmod(xxhash64(vec_id), S) = 0``) and
+    only ASSIGN the full corpus once; the centroid table stays tiny
+    (n_cells × dim) and always broadcasts.  Returns (cell, centroid)."""
+    def _means(assigned: DataFrame) -> DataFrame:
+        pos = assigned.select(
+            "cell", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+        )
+        return (
+            pos.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+
+    seeded = corpus.withColumn(
+        "cell", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells)).cast("int")
+    )
+    cent = _means(seeded).localCheckpoint()
+    for _ in range(iters):
+        assigned = _assign_cells(corpus, cent)
+        # a centroid that loses all members keeps its previous position
+        # (left join fills the gap), so cells never collapse away
+        new = _means(assigned)
+        cent = (
+            cent.select("cell", F.col("centroid").alias("prev"))
+            .join(new, "cell", "left")
+            .select("cell", F.coalesce("centroid", "prev").alias("centroid"))
+            .localCheckpoint()  # iterative plan: truncate lineage per round
+        )
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    n_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: train the coarse quantizer, bucket the
+    corpus by nearest centroid, probe each query's ``nprobe`` nearest
+    cells, brute-force ONLY within the probed cells.  Work per query
+    drops from O(N) to O(N · nprobe / n_cells); recall vs the exact
+    scan is pytest-measured (tests/test_training_ops.py).  Same output
+    shape as brute_force_topk."""
+    cent = ivf_train(corpus, n_cells=n_cells, iters=iters)
+    bucketed = _assign_cells(
+        corpus.select(F.col("vec_id").alias("cand_id"), "embedding"), cent
+    ).select("cand_id", F.col("embedding").alias("c_emb"), "cell")
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_scored = qs.join(F.broadcast(cent)).select(
+        "query_id",
+        "q_emb",
+        "cell",
+        cosine_expr(as_double(F.col("q_emb")), F.col("centroid")).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        q_scored.withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    scored = (
+        probes.join(bucketed, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_expr(as_double(F.col("q_emb")), as_double(F.col("c_emb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, bounded corpus)."""
     a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
@@ -195,6 +307,14 @@ def q_ann_lsh_sig(spark, sf):
     bucket-join recall is pytest-verified (⊘)."""
     e = tbl(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
     return e.select("vec_id", lsh_signature_expr(F.col("embedding")).alias("sig"))
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF probe search (op 99) — approximate by design, so rows-only
+    for the driver; recall vs the exact brute-force scan is
+    pytest-measured (tests/test_training_ops.py)."""
+    emb = tbl(spark, sf, "embeddings").filter(F.col("vec_id") < 400)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_cells=8, nprobe=3, k=5)
 
 
 def _fold_dot_sql(a: str, b: str) -> str:
@@ -255,4 +375,5 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "dedup_embedding": q_dedup_embedding,
     "ann_lsh_sig": q_ann_lsh_sig,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }

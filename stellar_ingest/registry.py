@@ -112,6 +112,7 @@ _PRIORITY_KEYS = [
     "tpch_q14",
     "tpch_q19",
     "dedup_clusters",
+    "ann_ivf_topk",
     # last recorded in CORRECTNESS_r02 — rotated forward for round 4
     "agg_filtered",
     "agg_percentiles",
