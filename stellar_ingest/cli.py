@@ -20,6 +20,8 @@ Usage (spark-submit --py-files stellar_ingest.zip)::
     python -m stellar_ingest.cli tag      --table T --name N [--snapshot ID] [--drop]
     python -m stellar_ingest.cli rescale  --table T --num-buckets N
     python -m stellar_ingest.cli evolve   --table T (--rename OLD:NEW | --widen COL:TYPE | --drop COL)
+    python -m stellar_ingest.cli maintain --table T [--keep-last N] [--older-than-ms MS]
+                                          [--min-delta-commits K] [--grace-ms MS]
 """
 
 from __future__ import annotations
@@ -128,6 +130,14 @@ def main(argv: list[str] | None = None) -> int:
     g2.add_argument("--widen", metavar="COL:TYPE")
     g2.add_argument("--drop", metavar="COL")
 
+    mt = sub.add_parser("maintain", parents=[common])
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--min-delta-commits", type=int, default=2)
+    mt.add_argument("--min-files", type=int, default=2)
+    mt.add_argument("--keep-last", type=int, default=10)
+    mt.add_argument("--older-than-ms", type=int, default=None)
+    mt.add_argument("--grace-ms", type=int, default=24 * 3600 * 1000)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "evolve":
@@ -229,6 +239,39 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(
         f"stellar-{args.cmd}", cores=args.cores, shuffle_partitions=args.shuffle_partitions
     )
+
+    if args.cmd == "maintain":
+        # the full maintenance pass, in dependency order: fold MoR debt,
+        # compact small files, expire old snapshots (+ metadata version
+        # prune), then GC orphans — one verb for a cron slot
+        from .lake.core import IceboxTable
+        from .lake.maintain import (
+            compact,
+            expire_snapshots,
+            fold_deltas,
+            gc_orphans,
+        )
+
+        t = IceboxTable(args.table)
+        folded = fold_deltas(spark, t, min_delta_commits=args.min_delta_commits)
+        compacted = compact(spark, t, min_files_per_bucket=args.min_files)
+        exp = expire_snapshots(
+            t, keep_last=args.keep_last, older_than_ms=args.older_than_ms
+        )
+        gc = gc_orphans(t, grace_ms=args.grace_ms)
+        print(
+            json.dumps(
+                {
+                    "fold_snapshot": folded,
+                    "compact_snapshot": compacted,
+                    **exp,
+                    **gc,
+                    "files": len(t.files()),
+                    "snapshots": len(t.snapshots()),
+                }
+            )
+        )
+        return 0
 
     if args.cmd == "gen":
         from .gen.changelog import generate_ledger
