@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 
 from ..lake.core import IceboxTable
 from ..lake.merge import delta_apply, merge_apply
-from ..schema import ensure_table_schema, table_schema_for
+from ..schema import align_renames, ensure_table_schema, table_schema_for
 from . import checkpoint as ckpt
 from . import lineage as lin
 from .skew import DEFAULT_HOT_THRESHOLD, DEFAULT_SALTS
@@ -189,13 +189,19 @@ def _prune_quarantine(checkpoint_dir: str, keep: int) -> int:
             return int(d.split("=", 1)[1])
         except (IndexError, ValueError):
             return -1
-    dirs = sorted(
-        (d for d in os.listdir(qroot) if "=" in d), key=_num
-    )
+    # the batch loop's epoch=N and the streaming adapter's ss_batch=N
+    # numberings are independent sequences — prune each namespace on its
+    # own, else interleaved ids delete newer dirs while keeping older
+    by_ns: dict[str, list[str]] = {}
+    for d in os.listdir(qroot):
+        if "=" in d:
+            by_ns.setdefault(d.split("=", 1)[0], []).append(d)
     n = 0
-    for d in dirs[: max(0, len(dirs) - max(0, keep))]:
-        shutil.rmtree(os.path.join(qroot, d), ignore_errors=True)
-        n += 1
+    for dirs in by_ns.values():
+        dirs.sort(key=_num)
+        for d in dirs[: max(0, len(dirs) - max(0, keep))]:
+            shutil.rmtree(os.path.join(qroot, d), ignore_errors=True)
+            n += 1
     return n
 
 
@@ -340,11 +346,15 @@ def run_increment(
             else:
                 epoch_mode = mode
 
-            # additive schema evolution BEFORE write (BASELINE.json:6)
-            batch_table_schema = table_schema_for(
-                T.StructType([f for f in valid.schema.fields])
-            )
+            # additive schema evolution BEFORE write (BASELINE.json:6);
+            # incoming columns are first mapped through the table's
+            # rename history so a renamed payload column the ledger
+            # keeps sending under its old wire name feeds the renamed
+            # column instead of re-evolving a fresh duplicate
             if not table.exists():
+                batch_table_schema = table_schema_for(
+                    T.StructType([f for f in valid.schema.fields])
+                )
                 IceboxTable.create(
                     table_root,
                     batch_table_schema,
@@ -353,6 +363,10 @@ def run_increment(
                 )
                 table = IceboxTable(table_root)
             else:
+                valid = align_renames(table, valid)
+                batch_table_schema = table_schema_for(
+                    T.StructType([f for f in valid.schema.fields])
+                )
                 ensure_table_schema(table, batch_table_schema, hook=hook)
 
             # salts="auto": decide THIS epoch's salting from the LAST

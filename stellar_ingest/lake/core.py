@@ -63,10 +63,24 @@ _TYPE_TO_SPARK = {
 _SPARK_TO_TYPE = {v.typeName(): k for k, v in _TYPE_TO_SPARK.items()}
 
 
+def type_to_spark(t: str) -> T.DataType:
+    """icebox type string → Spark type; ``array<elem>`` nests (embedding
+    columns and other list payloads are first-class table columns)."""
+    if t.startswith("array<") and t.endswith(">"):
+        return T.ArrayType(type_to_spark(t[6:-1]))
+    return _TYPE_TO_SPARK[t]
+
+
+def spark_to_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.ArrayType):
+        return f"array<{spark_to_type(dt.elementType)}>"
+    return _SPARK_TO_TYPE[dt.typeName()]
+
+
 def fields_to_struct(fields: list[dict]) -> T.StructType:
     return T.StructType(
         [
-            T.StructField(f["name"], _TYPE_TO_SPARK[f["type"]], f.get("nullable", True))
+            T.StructField(f["name"], type_to_spark(f["type"]), f.get("nullable", True))
             for f in fields
         ]
     )
@@ -79,7 +93,7 @@ def struct_to_fields(struct: T.StructType, start_id: int = 1) -> list[dict]:
             {
                 "id": start_id + i,
                 "name": f.name,
-                "type": _SPARK_TO_TYPE[f.dataType.typeName()],
+                "type": spark_to_type(f.dataType),
                 "nullable": bool(f.nullable),
             }
         )
@@ -564,8 +578,101 @@ class IceboxTable:
             "_op",
         }
 
+    def _history_additive(self) -> bool:
+        """True while no rename/widen has ever changed an existing
+        column id's (name, type) — i.e. every retained schema era is a
+        subset-by-id of the current schema (dropped ids excepted).
+        Under a purely additive history every data file is
+        name-compatible with the current schema by construction."""
+        cur = {f["id"]: f for f in self.schema_fields()}
+        for s in self.metadata()["schemas"]:
+            for f in s["fields"]:
+                c = cur.get(f["id"])
+                if c is not None and (
+                    c["name"] != f["name"] or c["type"] != f["type"]
+                ):
+                    return False
+        return True
+
+    def _backfill_schema_ids(self) -> int:
+        """Stamp ``schema_id`` on live manifest entries that predate the
+        stamp (files written before round 4).  Runs before every
+        non-additive schema commit: unstamped files would otherwise take
+        the name-based read path forever, so a later rename would read
+        their values back NULL and a drop-then-readd of the same name
+        would resurrect them.  Stamping with the CURRENT schema id is
+        exact while the history is purely additive (the file's physical
+        columns are a by-id subset of the current schema; missing ones
+        backfill NULL) — and non-additive commits always backfill first,
+        so that precondition holds at the first rename/widen/drop.  If
+        unstamped files coexist with an already non-additive history
+        (a table mutated by pre-backfill code), the correct era is
+        unrecoverable and the commit REFUSES rather than guessing.
+        Returns the number of entries stamped."""
+        meta = self.metadata()
+        snap_id = meta["current_snapshot_id"]
+        if snap_id is None:
+            return 0
+        sid_cur = int(meta["current_schema_id"])
+        ml = self.manifest_list(snap_id)
+        if ml is not None:
+            targets = [
+                (ref["manifest"], None) for ref in ml.values()
+            ]
+        else:
+            targets = [(f"snap-{snap_id}.manifest.json", None)]
+        n = 0
+        checked_additive = False
+        for fname, _ in targets:
+            p = os.path.join(self.meta_dir, fname)
+            with open(p) as fh:
+                m = json.load(fh)
+            if all("schema_id" in e for e in m["files"]):
+                continue
+            if not checked_additive:
+                if not self._history_additive():
+                    raise ValueError(
+                        "table holds data files without a recorded schema_id "
+                        "but its schema history is already non-additive; the "
+                        "files' true schema era is unrecoverable — compact "
+                        "(fold/rewrite) them before further rename/widen/drop"
+                    )
+                checked_additive = True
+            for e in m["files"]:
+                if "schema_id" not in e:
+                    e["schema_id"] = sid_cur
+                    n += 1
+            _atomic_write_json(p, m)
+        return n
+
+    def rename_map(self) -> dict[str, str]:
+        """``{old_name: current_name}`` for every column that was ever
+        renamed, derived from the schema-era history by COLUMN ID.  An
+        old name that was later reused by a different (fresh-id) column
+        is excluded — the current binding of that name wins.  The ingest
+        path maps incoming changelog columns through this so a rename
+        does not split data across two half-populated columns
+        (schema.py::align_renames)."""
+        cur = {f["id"]: f["name"] for f in self.schema_fields()}
+        cur_names = set(cur.values())
+        out: dict[str, str] = {}
+        for s in self.metadata()["schemas"]:
+            for f in s["fields"]:
+                name = cur.get(f["id"])
+                if (
+                    name is not None
+                    and f["name"] != name
+                    and f["name"] not in cur_names
+                ):
+                    out[f["name"]] = name
+        return out
+
     def _commit_schema(self, new_fields: list[dict]) -> int:
-        """Append a schema (metadata-only commit), return its id."""
+        """Append a schema (metadata-only commit), return its id.
+        Backfills ``schema_id`` on any pre-stamp manifest entries first
+        (see _backfill_schema_ids) so the id-aligned read path covers
+        every live file from the first non-additive evolution on."""
+        self._backfill_schema_ids()
         meta = self.metadata()
         version = self._version()
         schema_id = max(s["schema_id"] for s in meta["schemas"]) + 1
@@ -648,7 +755,7 @@ class IceboxTable:
                 {
                     "id": next_id,
                     "name": f.name,
-                    "type": _SPARK_TO_TYPE[f.dataType.typeName()],
+                    "type": spark_to_type(f.dataType),
                     "nullable": True,  # additive columns must be nullable (old files backfill NULL)
                 }
             )

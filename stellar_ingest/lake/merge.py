@@ -144,6 +144,16 @@ def merge_apply(
     summary = dict(summary or {})
     if summary_fn is not None:
         summary.update(summary_fn())
+    if (
+        skip_if_noop
+        and not new_files
+        and not removed
+        and not _observed_quarantined(summary)
+    ):
+        # empty batch into an EMPTY table (touched stayed None so the
+        # touched-empty early return above never fired): same contract —
+        # the write was the batch's action, but no snapshot is minted
+        return None
     return table.commit(
         added_files=new_files,
         removed_paths=removed,

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..schema import KEY_COLS, ORDER_COLS
 from .core import (
-    _TYPE_TO_SPARK,
+    type_to_spark,
     IceboxTable,
     commit_tag,
     covered_buckets,
@@ -107,12 +107,12 @@ def _read_aligned(
             g = g_by_id.get(t["id"])
             if g is None:
                 cols.append(
-                    F.lit(None).cast(_TYPE_TO_SPARK[t["type"]]).alias(t["name"])
+                    F.lit(None).cast(type_to_spark(t["type"])).alias(t["name"])
                 )
             else:
                 c = F.col(g["name"])
                 if g["type"] != t["type"]:
-                    c = c.cast(_TYPE_TO_SPARK[t["type"]])
+                    c = c.cast(type_to_spark(t["type"]))
                 cols.append(c.alias(t["name"]))
         parts.append(df.select(*cols))
     if compat_paths:

@@ -141,11 +141,15 @@ def append(
     df: DataFrame,
     *,
     summary: dict | None = None,
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> int:
-    """Append sink (op 6): bucket-partition + write + snapshot commit."""
+    """Append sink (op 6): bucket-partition + write + snapshot commit.
+    ``sort_cols`` sets the partition-local clustering (op 43) — the CDC
+    default suits transcript tables; non-transcript tables (e.g. the IVF
+    index's assignments) pass their own."""
     meta = table.metadata()
     dfb = df.withColumn("__bucket", bucket_expr(meta["bucket_column"], meta["num_buckets"]))
-    entries = write_data_files(dfb, table)
+    entries = write_data_files(dfb, table, sort_cols=sort_cols)
     return table.commit(added_files=entries, summary=summary or {}, operation="append")
 
 

@@ -1,0 +1,268 @@
+"""Persisted / incremental IVF ANN index (round-5 item; the embedding
+analogue of the serving-lookup insight in lake/read.py::lookup_fast).
+
+Round 4's ``ivf_topk`` re-trained the coarse quantizer on every call —
+fine for an oracle-facing query, wrong for a user: a search should pay
+k-means **once**.  This module stores the index as two icebox tables
+under one root, so it gets atomic commits, snapshots/time travel and
+bucket-pruned reads for free:
+
+``<root>/centroids``
+    (cell int, centroid array<double>) — the coarse quantizer.  One
+    bucket, one file; read DRIVER-SIDE via pyarrow (zero Spark jobs,
+    kilobytes at any corpus size).
+
+``<root>/assignments``
+    (vec_id long, embedding array<float>, cell int) — the inverted
+    lists, bucketed **by cell** so a search's probed cells prune to a
+    file subset at the manifest level (the same machinery the CDC
+    table's point lookups use).
+
+Scale contract (10^10 vectors): ``build`` trains on an optional
+deterministic hash sample and assigns the full corpus in ONE projection
+pass (ops/similarity.py::_assign_cell_expr — centroids travel as
+expression literals, the corpus never shuffles for assignment; the only
+exchange is the bucketed write itself).  ``append_vectors`` assigns each
+new batch the same way against the STORED centroids — Θ(batch) per
+epoch, never a retrain — so the index rides an ingest loop exactly like
+the MoR table does.  ``search`` reads only the probed cells' files and
+broadcasts the (queries × nprobe)-row probe set, so the candidate scan
+is Θ(corpus · nprobe / n_cells) with no corpus shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.core import IceboxTable
+from ..lake.read import scan
+from ..lake.write import append
+from ..lake.xxh import bucket_of
+from .similarity import (
+    _assign_cell_expr,
+    _centroid_list,
+    as_double,
+    cosine_expr,
+    ivf_train,
+    probe_cells_expr,
+)
+
+CENTROID_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("centroid", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        T.StructField("cell", T.IntegerType(), False),
+    ]
+)
+
+
+def _tables(index_root: str) -> tuple[IceboxTable, IceboxTable]:
+    return (
+        IceboxTable(os.path.join(index_root, "centroids")),
+        IceboxTable(os.path.join(index_root, "assignments")),
+    )
+
+
+def index_exists(index_root: str) -> bool:
+    ct, at = _tables(index_root)
+    return ct.exists() and at.exists()
+
+
+def read_centroids(index_root: str) -> list[tuple[int, list[float]]]:
+    """The stored quantizer, driver-side via pyarrow — NO Spark job
+    (n_cells × dim doubles; the hot path of append/search must not pay
+    a scan for kilobytes of metadata-sized state)."""
+    import pyarrow.parquet as pq
+
+    ct, _ = _tables(index_root)
+    out: list[tuple[int, list[float]]] = []
+    for p in ct.file_paths():
+        tbl = pq.read_table(p, columns=["cell", "centroid"])
+        for r in tbl.to_pylist():
+            out.append((int(r["cell"]), [float(x) for x in r["centroid"]]))
+    return sorted(out)
+
+
+def ivf_build(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_root: str,
+    *,
+    n_cells: int = 8,
+    iters: int = 3,
+    train_vecs: DataFrame | None = None,
+    train_sample_mod: int | None = None,
+) -> None:
+    """Create the index: train the quantizer (on ``train_vecs`` if
+    given, else on a ``pmod(xxhash64(vec_id), train_sample_mod) = 0``
+    hash sample, else the full corpus), persist centroids, assign + and
+    persist the whole corpus.  ``corpus``: (vec_id long, embedding
+    array<float>)."""
+    if index_exists(index_root):
+        raise FileExistsError(f"IVF index already exists at {index_root}")
+    train = train_vecs
+    if train is None:
+        train = corpus
+        if train_sample_mod:
+            train = corpus.filter(
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(train_sample_mod)) == 0
+            )
+    cents = _centroid_list(ivf_train(train, n_cells=n_cells, iters=iters))
+    ct = IceboxTable.create(
+        os.path.join(index_root, "centroids"),
+        CENTROID_SCHEMA,
+        num_buckets=1,
+        bucket_column="cell",
+    )
+    append(
+        spark,
+        ct,
+        spark.createDataFrame(
+            [(c, list(v)) for c, v in cents], CENTROID_SCHEMA
+        ),
+        sort_cols=("cell",),
+    )
+    at = IceboxTable.create(
+        os.path.join(index_root, "assignments"),
+        ASSIGN_SCHEMA,
+        num_buckets=int(n_cells),
+        bucket_column="cell",
+    )
+    append_vectors(spark, corpus, index_root, _cents=cents, _table=at)
+
+
+def append_vectors(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    index_root: str,
+    *,
+    _cents: list | None = None,
+    _table: IceboxTable | None = None,
+) -> int:
+    """Incrementally index a batch of new embeddings: assign against the
+    STORED centroids (pure projection — no retrain, no corpus shuffle)
+    and append to the bucketed assignments table.  Θ(batch) per call;
+    the per-epoch shape an ingest loop needs."""
+    cents = _cents if _cents is not None else read_centroids(index_root)
+    _, at = (None, _table) if _table is not None else _tables(index_root)
+    assigned = new_vecs.select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    ).withColumn("cell", _assign_cell_expr(cents))
+    return append(spark, at, assigned, sort_cols=("cell", "vec_id"))
+
+
+def _cell_buckets(cells: list[int], num_buckets: int) -> list[int]:
+    """Manifest buckets holding the given cells (bucket = xxhash64(cell)
+    pmod n, computed in pure Python — lake/xxh.py — so pruning costs no
+    Spark job)."""
+    return sorted({bucket_of(int(c), num_buckets, "int") for c in cells})
+
+
+def ivf_search(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_root: str,
+    *,
+    nprobe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k against the stored index.  Probe cells per
+    query are a projection over the driver-literal centroids; the
+    assignments scan is pruned to the probed cells' buckets at the
+    MANIFEST level (only those files are listed/opened), then the
+    (queries × nprobe) probe set broadcasts so candidates never
+    shuffle.  Output shape matches ops/similarity.py::brute_force_topk.
+    """
+    from pyspark.sql import Window
+
+    cents = read_centroids(index_root)
+    _, at = _tables(index_root)
+    qs = queries.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    probes = qs.select(
+        "query_id",
+        "q_emb",
+        F.explode(probe_cells_expr(cents, "q_emb", nprobe)).alias("cell"),
+    )
+    # the probed-cell union across queries is ≤ n_cells ints — a
+    # driver-side distinct on the probe set (queries are a serving
+    # request, not a table)
+    probed_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    buckets = _cell_buckets(probed_cells, at.num_buckets)
+    cand = (
+        scan(spark, at, buckets=buckets)
+        # a bucket may hold other cells (hash collision): re-filter rows
+        .filter(F.col("cell").isin(probed_cells))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_emb"),
+            "cell",
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_expr(as_double(F.col("q_emb")), as_double(F.col("c_emb"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# -- registry query ----------------------------------------------------------
+
+
+def q_ann_ivf_indexed(spark, sf):
+    """Persisted-index IVF search (round-5 op): build the index once
+    under a per-(sf,session) temp root, search against the STORED
+    tables — proves the build → append → search path end-to-end.
+    Approximate by design → rows-only for the driver; equivalence and
+    incremental-append invariance are pytest-verified
+    (tests/test_ivf_index.py)."""
+    import tempfile
+
+    from .relational import tbl
+
+    emb = tbl(spark, sf, "embeddings").filter(F.col("vec_id") < 400)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"stellar_ivf_idx_{abs(hash((sf, spark.sparkContext.applicationId))) % 10**9}",
+    )
+    if not index_exists(root):
+        # two-phase build exercises the incremental path every run
+        ivf_build(
+            spark,
+            emb.filter(F.col("vec_id") < 300),
+            root,
+            n_cells=8,
+            iters=3,
+            train_vecs=emb.filter(F.col("vec_id") < 300),
+        )
+        append_vectors(spark, emb.filter(F.col("vec_id") >= 300), root)
+    return ivf_search(spark, emb.filter(F.col("vec_id") < 5), root, nprobe=3, k=5)
+
+
+QUERIES = {"ann_ivf_indexed": q_ann_ivf_indexed}
+ORACLE: dict[str, str] = {}

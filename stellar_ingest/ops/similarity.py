@@ -158,18 +158,58 @@ def lsh_bucketed_candidates(
     )
 
 
-def _assign_cells(vecs: DataFrame, cent: DataFrame, out_col: str = "cell") -> DataFrame:
-    """Nearest-centroid assignment by cosine: broadcast the (tiny)
-    centroid table, score every (vec, cell) pair, keep the argmax via
-    ``max_by`` — one pass over the data, no shuffle of the corpus."""
-    scored = vecs.join(F.broadcast(cent)).select(
-        vecs["*"],
-        F.col("cell").alias("__cell"),
-        cosine_expr(as_double(F.col("embedding")), F.col("centroid")).alias("__cos"),
+def _centroid_list(cent) -> list[tuple[int, list[float]]]:
+    """Centroids as a sorted driver-side list [(cell, vector)] — the
+    quantizer is n_cells × dim doubles (kilobytes at any corpus size),
+    so it travels as expression literals, never as a join side."""
+    if isinstance(cent, list):
+        return sorted((int(c), [float(x) for x in v]) for c, v in cent)
+    return sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent.collect()
     )
-    return scored.groupBy(*[c for c in vecs.columns]).agg(
-        F.max_by("__cell", F.struct("__cos", (-F.col("__cell")).alias("t"))).alias(out_col)
+
+
+def _cell_scores_expr(cents: list[tuple[int, list[float]]], emb_col: str):
+    """array<struct<negcos, cell>> of every cell's (negated, 6-dp
+    rounded) cosine to the row's embedding — centroids and their norms
+    are driver-computed literals, so scoring is a pure projection."""
+    import math
+
+    embd = as_double(F.col(emb_col))
+    n = norm_expr(embd)
+    structs = []
+    for cell, vec in cents:
+        cnorm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        cos = F.round(dot_expr(embd, F.lit(vec)) / (n * F.lit(cnorm)), 6)
+        structs.append(F.struct((-cos).alias("negcos"), F.lit(cell).alias("cell")))
+    return F.array(*structs)
+
+
+def _assign_cell_expr(cents: list[tuple[int, list[float]]], emb_col: str = "embedding"):
+    """Nearest-centroid cell id as a pure column expression (argmax
+    cosine, ties → lowest cell).  ZERO exchange: ``array_min`` over the
+    literal-scored struct array replaces the broadcast-join + groupBy
+    the round-4 implementation paid once per Lloyd round."""
+    return F.array_min(_cell_scores_expr(cents, emb_col))["cell"]
+
+
+def probe_cells_expr(
+    cents: list[tuple[int, list[float]]], emb_col: str, nprobe: int
+):
+    """The ``nprobe`` nearest cells (by centroid cosine, ties → lowest
+    cell) as an array column — probe selection without a window or any
+    exchange on the query side."""
+    return F.transform(
+        F.slice(F.array_sort(_cell_scores_expr(cents, emb_col)), 1, nprobe),
+        lambda s: s["cell"],
     )
+
+
+def _assign_cells(vecs: DataFrame, cent, out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid assignment by cosine — a pure projection over
+    driver-literal centroids (see _assign_cell_expr): the corpus is
+    never shuffled, joined, or aggregated to get its cell ids."""
+    return vecs.withColumn(out_col, _assign_cell_expr(_centroid_list(cent)))
 
 
 def ivf_train(corpus: DataFrame, *, n_cells: int = 8, iters: int = 3) -> DataFrame:
@@ -180,11 +220,14 @@ def ivf_train(corpus: DataFrame, *, n_cells: int = 8, iters: int = 3) -> DataFra
     are UDF-free: posexplode the vectors, average per (cell, position),
     re-assemble with array_agg sorted by position.
 
-    Scale: each Lloyd round is one broadcast-scored pass + one
-    (cell, pos)-keyed aggregation — at 10^10 vectors you train on a
-    deterministic hash sample (``pmod(xxhash64(vec_id), S) = 0``) and
-    only ASSIGN the full corpus once; the centroid table stays tiny
-    (n_cells × dim) and always broadcasts.  Returns (cell, centroid)."""
+    Scale: each Lloyd round is one PROJECTION pass (cell assignment over
+    driver-literal centroids — zero exchange of the corpus,
+    _assign_cell_expr) + one (cell, pos)-keyed mean aggregation whose
+    map-side combine reduces each task to ≤ n_cells × dim rows before
+    the (tiny) exchange.  At 10^10 vectors you train on a deterministic
+    hash sample (``pmod(xxhash64(vec_id), S) = 0``) and only ASSIGN the
+    full corpus once; the centroid set stays n_cells × dim doubles —
+    kilobytes — at any corpus size.  Returns (cell, centroid)."""
     def _means(assigned: DataFrame) -> DataFrame:
         pos = assigned.select(
             "cell", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
@@ -201,8 +244,14 @@ def ivf_train(corpus: DataFrame, *, n_cells: int = 8, iters: int = 3) -> DataFra
             )
         )
 
+    # seed hash is SALTED so it decorrelates from hash-based train
+    # sampling (pmod(xxhash64(vec_id), S) = 0 would otherwise constrain
+    # pmod(xxhash64(vec_id), n_cells) to a coset and leave cells unseeded)
     seeded = corpus.withColumn(
-        "cell", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells)).cast("int")
+        "cell",
+        F.pmod(F.xxhash64(F.lit("ivf-seed"), F.col("vec_id")), F.lit(n_cells)).cast(
+            "int"
+        ),
     )
     cent = _means(seeded).localCheckpoint()
     for _ in range(iters):
@@ -234,27 +283,23 @@ def ivf_topk(
     drops from O(N) to O(N · nprobe / n_cells); recall vs the exact
     scan is pytest-measured (tests/test_training_ops.py).  Same output
     shape as brute_force_topk."""
-    cent = ivf_train(corpus, n_cells=n_cells, iters=iters)
-    bucketed = _assign_cells(
-        corpus.select(F.col("vec_id").alias("cand_id"), "embedding"), cent
-    ).select("cand_id", F.col("embedding").alias("c_emb"), "cell")
+    cents = _centroid_list(ivf_train(corpus, n_cells=n_cells, iters=iters))
+    bucketed = corpus.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    ).withColumn("cell", _assign_cell_expr(cents, "c_emb"))
     qs = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    q_scored = qs.join(F.broadcast(cent)).select(
+    # probe selection is a projection (no window/exchange); the probe
+    # set (queries × nprobe rows) broadcasts, so the corpus side never
+    # shuffles — the join's build side is always the tiny one
+    probes = qs.select(
         "query_id",
         "q_emb",
-        "cell",
-        cosine_expr(as_double(F.col("q_emb")), F.col("centroid")).alias("ccos"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
-    probes = (
-        q_scored.withColumn("prnk", F.row_number().over(wq))
-        .filter(F.col("prnk") <= nprobe)
-        .select("query_id", "q_emb", "cell")
+        F.explode(probe_cells_expr(cents, "q_emb", nprobe)).alias("cell"),
     )
     scored = (
-        probes.join(bucketed, "cell")
+        bucketed.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",

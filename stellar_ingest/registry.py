@@ -19,6 +19,7 @@ from .ops import (
     composites,
     dedup,
     functions,
+    ivf_index,
     joins,
     multimodal,
     relational,
@@ -30,7 +31,7 @@ from .ops import (
 )
 from .ops.relational import tbl
 
-_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, multimodal, repair, udx, composites]
+_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, ivf_index, multimodal, repair, udx, composites]
 
 
 def q_approx_count_distinct(spark, sf):
@@ -102,41 +103,43 @@ _EXTRA_ORACLE = {
 #: registry's order), so the priority prefix rotates every round: keys
 #: whose newest green row sits in the OLDER of the two retained driver
 #: files lead the next round's prefix, keeping every key green in the
-#: union of the two newest files.  Round 4: the 23 keys last recorded in
-#: CORRECTNESS_r02.json (= r03 ordering's keys[50:], round-3 verdict
-#: item #1) come first.
+#: union of the two newest files.  Round 5: the 29 keys last recorded in
+#: CORRECTNESS_r03.json (round-4 verdict item #2) come first, followed
+#: by the keys new in round 5 (which have no driver record yet).
 _PRIORITY_KEYS = [
-    # new in round 4 (must appear in the capped prefix)
-    "tpch_q1",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q19",
-    "dedup_clusters",
-    "ann_ivf_topk",
-    # last recorded in CORRECTNESS_r02 — rotated forward for round 4
-    "agg_filtered",
-    "agg_percentiles",
-    "agg_collect_ordered",
-    "agg_fingerprint",
-    "win_rank",
-    "win_lag_lead",
-    "win_running",
-    "win_range_frame",
-    "win_last_nn",
-    "win_sliding",
-    "fn_variant",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "dedup_embedding",
-    "ann_lsh_sig",
-    "multimodal_features",
-    "transcript_repair",
-    "udf_scalar",
-    "udaf_grouped",
-    "udtf_expand",
-    "approx_count_distinct",
-    "win_session",
-    "cdc_transcripts",
+    # last recorded in CORRECTNESS_r03 — rotated forward for round 5
+    "join_asof",
+    "join_interval",
+    "agg_basic",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_pivot",
+    "win_ntile",
+    "topk_per_group",
+    "win_tumbling",
+    "fn_string",
+    "fn_datetime",
+    "fn_math",
+    "fn_conditional",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "fn_hash",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
+    # new in round 5 (must appear in the capped prefix)
+    "dedup_incremental",
+    "ann_ivf_indexed",
 ]
 
 

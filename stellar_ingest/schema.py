@@ -63,11 +63,47 @@ def table_schema_for(changelog_schema: T.StructType) -> T.StructType:
     return T.StructType(payload + META_FIELDS)
 
 
+def align_renames(table, df):
+    """Map incoming changelog columns through the table's rename history
+    (lake/core.py::rename_map) so that renaming a column the source
+    keeps sending does NOT split data: the old wire name keeps feeding
+    the renamed column instead of being re-added under a fresh id with
+    the stored values forever half-populated.  Raises when the batch
+    carries BOTH the old and the new name (the source itself evolved —
+    which of the two is the renamed column is ambiguous and must be an
+    operator decision, not a silent merge)."""
+    rmap = table.rename_map()
+    hits = {old: new for old, new in rmap.items() if old in df.columns}
+    if not hits:
+        return df
+    clash = sorted(old for old, new in hits.items() if new in df.columns)
+    if clash:
+        raise ValueError(
+            f"batch carries both the pre-rename and post-rename name for "
+            f"column(s) {clash}; drop or rename one side in the source "
+            f"before ingesting"
+        )
+    return df.withColumnsRenamed(hits)
+
+
 def ensure_table_schema(table, batch_table_schema, *, hook=None):
     """Additive evolution rule shared by the batch runner and the
     streaming adapter: commit (metadata-only) any column the batch
     carries that the table lacks, BEFORE the data write
-    (BASELINE.json ordering requirement).  Returns the new columns."""
+    (BASELINE.json ordering requirement).  Returns the new columns.
+
+    Batches must be passed through ``align_renames`` first; a batch
+    still carrying a renamed column's OLD name here would silently
+    re-add it under a fresh column id (splitting the data), so that
+    case raises instead."""
+    stale = sorted(
+        set(table.rename_map()) & {f.name for f in batch_table_schema.fields}
+    )
+    if stale:
+        raise ValueError(
+            f"batch columns {stale} are pre-rename names of existing table "
+            f"columns; pass the batch through schema.align_renames first"
+        )
     known = {f["name"] for f in table.schema_fields()}
     new_cols = T.StructType(
         [f for f in batch_table_schema.fields if f.name not in known]

@@ -28,7 +28,12 @@ from ..cdc.source import batch_schema, list_segments
 from ..cdc.validate import split_valid, validity_predicate
 from ..lake.core import IceboxTable
 from ..lake.merge import delta_apply, merge_apply
-from ..schema import CHANGELOG_SCHEMA, ensure_table_schema, table_schema_for
+from ..schema import (
+    CHANGELOG_SCHEMA,
+    align_renames,
+    ensure_table_schema,
+    table_schema_for,
+)
 
 
 def ledger_stream_schema(ledger_dir: str):
@@ -114,7 +119,9 @@ def run_streaming(
             )
             table = IceboxTable(table_root)
         else:
-            # additive evolution, same rule as the batch runner
+            # rename mapping + additive evolution, same rule as the
+            # batch runner (cdc/runner.py)
+            batch_df = align_renames(table, batch_df)
             ensure_table_schema(table, table_schema_for(batch_df.schema))
         snap = table.current_snapshot()
         epoch = int(snap["summary"].get("epoch", 0)) if snap else 0
@@ -124,12 +131,31 @@ def run_streaming(
             # processed every partition (the dedupe operator's state
             # store must commit), so an early return without an action
             # fails the query with STATE_STORE_COMMIT_VALIDATION_FAILED.
-            batch_df.count()
             # A crash between merge_apply and lin.emit replays the batch
             # here — re-emit the torn epoch's lineage from the snapshot
             # summary (idempotent: emit skips epochs already in the
             # log), so the audit log stays gap-free on this path too.
             linfo = snap["summary"].get("lineage")
+            if (
+                linfo is not None
+                and int(snap["summary"].get("ss_batch_id", -1)) == batch_id
+                and int(linfo.get("quarantined", 0)) > 0
+            ):
+                # the batch also had dead-letter rows: a crash between
+                # the snapshot commit and the quarantine write would
+                # lose them permanently (the batch runner re-derives
+                # them from the immutable ledger; SS must re-derive from
+                # the replayed batch).  Rewrite is idempotent
+                # (overwrite) and doubles as the required batch action.
+                batch_df.filter(~validity_predicate()).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(
+                        checkpoint_dir, "quarantine", f"ss_batch={batch_id}"
+                    )
+                )
+            else:
+                batch_df.count()
             if linfo is not None:
                 lin.emit(
                     checkpoint_dir,
