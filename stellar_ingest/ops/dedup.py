@@ -85,11 +85,15 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing a full band signature."""
+def band_signatures(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, band_sig) — the LSH band keys.  These are the
+    rows a corpus-level dedup INDEX persists (ops/dedup_index.py):
+    banding is what turns pair generation into an equi-join, and the
+    band keys are immutable per doc, so they append once per ingested
+    batch and never rewrite."""
     sig = minhash_signatures(docs)
     rows_per_band = N_MINHASH // bands
-    banded = (
+    return (
         sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -104,6 +108,11 @@ def minhash_lsh_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
             ).alias("band_sig")
         )
     )
+
+
+def minhash_lsh_pairs(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing a full band signature."""
+    banded = band_signatures(docs, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -273,8 +282,9 @@ def connected_components(
     """Near-dup CLUSTERS from candidate pairs: connected components by
     iterative min-label propagation — each superstep sets
     ``label[x] = min(label[x], min over neighbors' labels)`` via one
-    join + one groupBy, with a driver-side convergence check on
-    ``sum(label)`` (monotone non-increasing; equal sum ⇔ fixpoint).
+    join + one groupBy, with a driver-side convergence check counting
+    CHANGED labels (a sum of labels would be monotone too, but a sum of
+    64-bit ids can wrap at 10^10 docs; a changed-count cannot).
 
     Scale: supersteps = graph diameter.  Near-dup clusters are small and
     dense (diameter 2-4 even for 10^10 docs — duplicates of one page all
@@ -295,7 +305,6 @@ def connected_components(
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     und = und.localCheckpoint()  # the edge set is reused every round
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    prev_sum = None
     for _ in range(max_iter):
         nb = (
             und.alias("e")
@@ -305,16 +314,24 @@ def connected_components(
                 F.col("l.cluster_id").alias("cluster_id"),
             )
         )
-        labels = (
-            labels.unionByName(nb)
+        # carry the previous label through the same aggregation (rows
+        # from `labels` are the "own" side) so convergence is a cheap
+        # changed-count on the just-materialized checkpoint — no extra
+        # join, no overflow
+        merged = (
+            labels.withColumn("__own", F.lit(True))
+            .unionByName(nb.withColumn("__own", F.lit(False)))
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("__own"), F.col("cluster_id"))).alias("__prev"),
+            )
             .localCheckpoint()  # truncate lineage: flat plan per round
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        if cur_sum == prev_sum:
+        n_changed = merged.filter(F.col("cluster_id") != F.col("__prev")).count()
+        labels = merged.select("doc_id", "cluster_id")
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 

@@ -1,0 +1,281 @@
+"""Corpus-incremental near-dup deduplication (round-5 flagship item).
+
+Round 4's dedup operators are batch-internal: they compare a corpus
+against itself.  A training-data pipeline dedups **new data against the
+historical corpus** — re-shingling 10^10 stored docs per arriving batch
+is not a plan.  This module persists the MinHash-LSH state as icebox
+tables maintained per epoch, so each batch costs Θ(batch + candidate
+edges + touched clusters), never Θ(corpus compute):
+
+``<root>/bands``
+    (doc_id long, band int, band_sig string) — every indexed doc's LSH
+    band keys (ops/dedup.py::band_signatures).  Immutable per doc;
+    appended once per batch.  One sequential scan per epoch, map-side
+    joined against the BROADCAST batch bands — the stored corpus never
+    shuffles, never re-hashes.
+
+``<root>/clusters``
+    (doc_id long, cluster_id long, epoch long) — cluster assignments.
+    Merge-on-read by epoch: a batch appends rows only for its own docs
+    plus docs of clusters it merged; the current assignment is
+    ``max_by(cluster_id, epoch)`` per doc (bounded fan-in: one row per
+    remap event, and cluster canonical ids only ever DECREASE, so a doc
+    accumulates at most O(log) remaps).
+
+Incremental closure (the correctness core): existing clusters are
+CONTRACTED to their canonical node — an index-side edge endpoint is
+replaced by its current cluster_id — so the per-epoch connected-
+components run sees only (batch docs ∪ touched canonicals), not cluster
+member lists.  When the propagation relabels an old canonical, every
+member of that cluster is re-assigned in one pruned pass over the
+clusters table (filter on the remapped ids).  The invariant that makes
+the filter exact: canonical ids are monotone non-increasing, and a
+remap rewrites ALL members of the absorbed cluster, so a stored
+cluster_id matches a CURRENT remap key only on a doc's newest row.
+
+The result is provably equal to re-running the full-corpus closure:
+every candidate pair is generated exactly once (in-batch pairs at the
+batch's epoch, cross-epoch pairs by the index join), and contracting a
+closed cluster preserves connectivity.  The registry key
+``dedup_incremental`` ingests the fixture corpus in two epochs and is
+oracle-checked VALUE-EXACTLY against DuckDB's recursive-CTE closure
+over the union — the strongest form of the batch-split-invariance
+claim; tests/test_dedup_index.py adds multi-split and
+transitive-bridge cases.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.core import IceboxTable
+from ..lake.read import scan
+from ..lake.write import append
+from .dedup import LSH_BANDS, band_signatures, connected_components
+
+BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("band_sig", T.StringType(), False),
+    ]
+)
+
+CLUSTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("cluster_id", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), False),
+    ]
+)
+
+
+def _tables(index_root: str) -> tuple[IceboxTable, IceboxTable]:
+    return (
+        IceboxTable(os.path.join(index_root, "bands")),
+        IceboxTable(os.path.join(index_root, "clusters")),
+    )
+
+
+def index_exists(index_root: str) -> bool:
+    bt, ct = _tables(index_root)
+    return bt.exists() and ct.exists()
+
+
+def dedup_index_init(index_root: str, *, num_buckets: int = 8) -> None:
+    if index_exists(index_root):
+        raise FileExistsError(f"dedup index already exists at {index_root}")
+    IceboxTable.create(
+        os.path.join(index_root, "bands"),
+        BANDS_SCHEMA,
+        num_buckets=num_buckets,
+        bucket_column="doc_id",
+    )
+    IceboxTable.create(
+        os.path.join(index_root, "clusters"),
+        CLUSTERS_SCHEMA,
+        num_buckets=num_buckets,
+        bucket_column="doc_id",
+    )
+
+
+def current_assignments(spark: SparkSession, index_root: str) -> DataFrame:
+    """(doc_id, cluster_id) — newest epoch's row per doc (merge-on-read
+    resolve over the append-only clusters table)."""
+    _, ct = _tables(index_root)
+    df = scan(spark, ct)
+    return df.groupBy("doc_id").agg(
+        F.max_by("cluster_id", "epoch").alias("cluster_id")
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_root: str,
+    *,
+    epoch: int,
+    bands: int = LSH_BANDS,
+) -> dict:
+    """Index one batch of new documents ((doc_id, text) rows whose ids
+    are not yet indexed) and fold them into the clustering incrementally.
+    Returns counts {batch_docs, cross_edges, remapped_clusters,
+    relabeled_docs}.
+
+    Plan shape per epoch (the 100-TB story):
+      1. batch bands — Θ(batch) shingle/hash compute, no corpus touch;
+      2. in-batch pairs — self-join on (band, band_sig), banded keys;
+      3. cross edges — ONE scan of the stored bands table map-side
+         joined against the broadcast batch bands (the corpus side has
+         no shuffle and no recompute);
+      4. contraction — touched index endpoints resolve to their current
+         canonical via the clusters table, so connected components runs
+         on (batch ∪ touched canonicals) only;
+      5. remap — merged old clusters rewrite their members' assignment
+         rows in one pruned, broadcast-mapped pass.
+    """
+    bt, ct = _tables(index_root)
+    batch_bands = band_signatures(docs, bands).localCheckpoint()
+    batch_nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    # 2. in-batch candidate pairs
+    a, b = batch_bands.alias("a"), batch_bands.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # 3. cross edges vs the stored corpus (index side: scan only, the
+    #    batch side broadcasts)
+    stored_bands = scan(spark, bt)
+    cross = (
+        stored_bands.alias("i")
+        .join(
+            F.broadcast(batch_bands.alias("n")),
+            (F.col("i.band") == F.col("n.band"))
+            & (F.col("i.band_sig") == F.col("n.band_sig")),
+        )
+        .select(
+            F.col("i.doc_id").alias("old_doc"), F.col("n.doc_id").alias("new_doc")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # 4. contract old endpoints to their CURRENT canonical id.  Resolve
+    #    assignments ONLY for the touched endpoints: the broadcast
+    #    semi-filter drops untouched rows map-side, so the merge-on-read
+    #    groupBy shuffles Θ(touched docs), not Θ(corpus).
+    endpoints = cross.select(F.col("old_doc").alias("doc_id")).distinct()
+    assigned = (
+        scan(spark, ct)
+        .join(F.broadcast(endpoints), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.max_by("cluster_id", "epoch").alias("cluster_id"))
+    )
+    contracted = (
+        cross.join(assigned, cross["old_doc"] == assigned["doc_id"])
+        .select(
+            F.col("cluster_id").alias("doc_a"), F.col("new_doc").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    touched = contracted.select(F.col("doc_a").alias("doc_id")).distinct()
+    nodes = batch_nodes.unionByName(touched).distinct()
+    pairs = within.unionByName(contracted)
+    labels = connected_components(pairs, nodes)
+
+    # 5a. assignments for the batch's own docs
+    batch_assign = labels.join(batch_nodes, "doc_id").select(
+        "doc_id", "cluster_id", F.lit(int(epoch)).cast("long").alias("epoch")
+    )
+    # 5b. remap: old canonicals whose label changed pull their whole
+    #     cluster to the new id.  The remap set is tiny (≤ touched
+    #     clusters) → broadcast; the member lookup filters the stored
+    #     table on the remapped ids (newest-row invariant, see module
+    #     docstring).
+    remap = (
+        labels.join(touched, "doc_id")
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select(
+            F.col("doc_id").alias("old_cluster"),
+            F.col("cluster_id").alias("new_cluster"),
+        )
+        .localCheckpoint()
+    )
+    n_remap = remap.count()
+    relabeled = spark.createDataFrame([], CLUSTERS_SCHEMA)
+    if n_remap:
+        stored = scan(spark, ct)
+        relabeled = (
+            stored.join(
+                F.broadcast(remap), stored["cluster_id"] == remap["old_cluster"]
+            )
+            .select(
+                "doc_id",
+                F.col("new_cluster").alias("cluster_id"),
+                F.lit(int(epoch)).cast("long").alias("epoch"),
+            )
+            .distinct()
+        )
+    n_relabel = relabeled.count() if n_remap else 0
+
+    append(spark, bt, batch_bands, sort_cols=("doc_id", "band"))
+    append(
+        spark,
+        ct,
+        batch_assign.unionByName(relabeled),
+        sort_cols=("doc_id", "epoch"),
+    )
+    return {
+        "batch_docs": batch_nodes.count(),
+        "cross_edges": cross.count(),
+        "remapped_clusters": n_remap,
+        "relabeled_docs": n_relabel,
+    }
+
+
+# -- registry query ----------------------------------------------------------
+
+
+def q_dedup_incremental(spark, sf):
+    """Corpus-incremental dedup, oracle-checked value-exactly: the
+    fixture slice (doc_id < 300) is ingested in TWO epochs
+    (batch-split), and the incremental assignment must equal DuckDB's
+    recursive-CTE closure over the whole slice — batch-split invariance
+    as a driver-verified fact, not just a pytest claim."""
+    import tempfile
+
+    from .relational import tbl
+
+    docs = tbl(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"stellar_dedup_idx_{abs(hash((sf, spark.sparkContext.applicationId))) % 10**9}",
+    )
+    if not index_exists(root):
+        dedup_index_init(root)
+        ingest_batch(spark, docs.filter(F.col("doc_id") < 150), root, epoch=1)
+        ingest_batch(spark, docs.filter(F.col("doc_id") >= 150), root, epoch=2)
+    return current_assignments(spark, root)
+
+
+# the oracle is the SAME full-corpus closure dedup_clusters uses — the
+# incremental path must be indistinguishable from a rebuild
+from .dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
+
+ORACLE = {"dedup_incremental": _DEDUP_ORACLE["dedup_clusters"]}
+QUERIES = {"dedup_incremental": q_dedup_incremental}

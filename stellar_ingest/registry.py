@@ -18,6 +18,7 @@ from .ops import (
     aggregates,
     composites,
     dedup,
+    dedup_index,
     functions,
     ivf_index,
     joins,
@@ -31,7 +32,7 @@ from .ops import (
 )
 from .ops.relational import tbl
 
-_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, similarity, ivf_index, multimodal, repair, udx, composites]
+_MODULES = [relational, joins, aggregates, windows, functions, text, dedup, dedup_index, similarity, ivf_index, multimodal, repair, udx, composites]
 
 
 def q_approx_count_distinct(spark, sf):

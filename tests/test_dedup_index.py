@@ -1,0 +1,178 @@
+"""Corpus-incremental near-dup dedup (ops/dedup_index.py): batch-split
+invariance vs the full-corpus closure, cross-epoch cluster merges with
+canonical remap, and the append-only index contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stellar_ingest.ops.dedup import connected_components, minhash_lsh_pairs
+from stellar_ingest.ops.dedup_index import (
+    current_assignments,
+    dedup_index_init,
+    index_exists,
+    ingest_batch,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+
+
+def full_rebuild(docs):
+    """The ground truth: the batch-internal closure over the whole
+    corpus (the operator dedup_clusters oracle-checks value-exactly)."""
+    pairs = minhash_lsh_pairs(docs)
+    labels = connected_components(pairs, docs.select("doc_id"))
+    return sorted((r["doc_id"], r["cluster_id"]) for r in labels.collect())
+
+
+def incremental(spark, docs, root, splits):
+    dedup_index_init(root)
+    for epoch, pred in enumerate(splits, start=1):
+        ingest_batch(spark, docs.filter(pred), root, epoch=epoch)
+    return sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in current_assignments(spark, root).collect()
+    )
+
+
+def test_two_epoch_split_matches_full_rebuild(spark, docs, tmp_path):
+    got = incremental(
+        spark,
+        docs,
+        str(tmp_path / "idx"),
+        [F.col("doc_id") < 150, F.col("doc_id") >= 150],
+    )
+    assert got == full_rebuild(docs)
+
+
+def test_reverse_split_forces_remap_and_matches(spark, docs, tmp_path):
+    """Epoch 1 ingests the HIGH doc_ids, epoch 2 the low ones — every
+    cluster spanning the cut must remap its canonical downward, so this
+    split exercises the relabel pass on real data."""
+    root = str(tmp_path / "idx")
+    dedup_index_init(root)
+    m1 = ingest_batch(spark, docs.filter(F.col("doc_id") >= 150), root, epoch=1)
+    m2 = ingest_batch(spark, docs.filter(F.col("doc_id") < 150), root, epoch=2)
+    assert m1["cross_edges"] == 0
+    assert m2["remapped_clusters"] > 0  # the fixture plants cross-cut dups
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in current_assignments(spark, root).collect()
+    )
+    assert got == full_rebuild(docs)
+
+
+def test_three_way_interleaved_split_matches(spark, docs, tmp_path):
+    got = incremental(
+        spark,
+        docs,
+        str(tmp_path / "idx"),
+        [F.col("doc_id") % 3 == i for i in (1, 2, 0)],
+    )
+    assert got == full_rebuild(docs)
+
+
+# Deterministic bridge triple (probed offline against the md5 minhash):
+# A and B share no shingles (never pair); C contains both word runs and
+# shares a full band with each, so C merges A's and B's clusters.
+_TEXT_A = "w20 w42 w114 w102 w140 w71 w35 w110"
+_TEXT_B = "w148 w75 w188 w112 w95 w182 w101 w62"
+_TEXT_C = _TEXT_A + " " + _TEXT_B
+
+
+def test_bridge_doc_merges_two_existing_clusters(spark, tmp_path):
+    """Epoch 3's doc is near-dup of BOTH epoch-1 clusters: the closure
+    must contract the two stored canonicals into one component and
+    relabel every absorbed member."""
+    root = str(tmp_path / "idx")
+    dedup_index_init(root)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    ingest_batch(spark, df([(10, _TEXT_A), (11, _TEXT_A)]), root, epoch=1)
+    ingest_batch(spark, df([(20, _TEXT_B), (21, _TEXT_B)]), root, epoch=2)
+    mid = {
+        r["doc_id"]: r["cluster_id"]
+        for r in current_assignments(spark, root).collect()
+    }
+    assert mid == {10: 10, 11: 10, 20: 20, 21: 20}
+
+    m3 = ingest_batch(spark, df([(30, _TEXT_C)]), root, epoch=3)
+    assert m3["remapped_clusters"] == 1  # cluster 20 absorbed into 10
+    assert m3["relabeled_docs"] == 2  # docs 20, 21 rewritten
+    final = {
+        r["doc_id"]: r["cluster_id"]
+        for r in current_assignments(spark, root).collect()
+    }
+    assert final == {10: 10, 11: 10, 20: 10, 21: 10, 30: 10}
+
+
+def test_new_smaller_id_becomes_canonical(spark, tmp_path):
+    """A later batch can carry a SMALLER doc_id than the stored
+    canonical; the remap must pull the whole old cluster down to it."""
+    root = str(tmp_path / "idx")
+    dedup_index_init(root)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    ingest_batch(spark, df([(5, _TEXT_A), (7, _TEXT_A)]), root, epoch=1)
+    m2 = ingest_batch(spark, df([(1, _TEXT_A)]), root, epoch=2)
+    assert m2["remapped_clusters"] == 1 and m2["relabeled_docs"] == 2
+    final = {
+        r["doc_id"]: r["cluster_id"]
+        for r in current_assignments(spark, root).collect()
+    }
+    assert final == {1: 1, 5: 1, 7: 1}
+
+    # a third epoch re-touching the (already remapped) cluster must not
+    # resurrect the stale canonical from the epoch-1 rows
+    m3 = ingest_batch(spark, df([(3, _TEXT_A)]), root, epoch=3)
+    assert m3["remapped_clusters"] == 0
+    final = {
+        r["doc_id"]: r["cluster_id"]
+        for r in current_assignments(spark, root).collect()
+    }
+    assert final == {1: 1, 3: 1, 5: 1, 7: 1}
+
+
+def test_bands_table_is_append_only(spark, tmp_path):
+    """Ingesting a new batch must never rewrite stored band files — the
+    index side of the join is scan-only (Θ(batch) writes per epoch)."""
+    from stellar_ingest.lake.core import IceboxTable
+
+    root = str(tmp_path / "idx")
+    dedup_index_init(root)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    ingest_batch(spark, df([(10, _TEXT_A)]), root, epoch=1)
+    bt = IceboxTable(os.path.join(root, "bands"))
+    before = set(bt.file_paths())
+    ingest_batch(spark, df([(20, _TEXT_B)]), root, epoch=2)
+    bt = IceboxTable(os.path.join(root, "bands"))
+    after = set(bt.file_paths())
+    assert before <= after and len(after) > len(before)
+
+
+def test_index_exists_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    assert not index_exists(root)
+    dedup_index_init(root)
+    assert index_exists(root)
+    with pytest.raises(FileExistsError):
+        dedup_index_init(root)
