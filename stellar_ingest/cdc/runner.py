@@ -228,6 +228,7 @@ def run_increment(
     gc_grace_ms: int = 24 * 3600 * 1000,
     lineage_rotate_bytes: int | None = None,
     quarantine_keep: int | None = None,
+    branch: str | None = None,
 ) -> list[dict]:
     """Drain the ledger in micro-batches (availableNow semantics);
     returns the lineage records emitted.  Resumable: state is entirely
@@ -276,7 +277,13 @@ def run_increment(
     kept forever — pruning is an explicit operator decision).
     tests/test_replay.py::test_longevity_soak proves ~100 epochs with
     retention+folds interleaved keep metadata bounded and reconverge
-    byte-identically."""
+    byte-identically.
+
+    ``branch``: commit every epoch to a named branch instead of main
+    (write-audit-publish): readers of main never observe the run until
+    ``lake.maintain.audit_and_publish`` gates pass and fast-forward it
+    in one atomic swap — a crash mid-ingest or mid-audit leaves main
+    byte-identically untouched (tests/test_wap.py)."""
     from concurrent.futures import ThreadPoolExecutor
 
     if mode not in ("auto", "cow", "mor"):
@@ -286,7 +293,10 @@ def run_increment(
         if fold_max_buckets is None:
             fold_max_buckets = max(1, num_buckets // 8)
     hook = crash_hook or (lambda point: None)
-    table = IceboxTable(table_root)
+    # branch-bound handle: every read/commit of this run resolves to
+    # the branch head; main is untouched until lake.maintain.
+    # audit_and_publish fast-forwards it (write-audit-publish)
+    table = IceboxTable(table_root, branch=branch)
     all_records: list[dict] = []
     epochs_done = 0
     pool = ThreadPoolExecutor(max_workers=1)
@@ -361,7 +371,7 @@ def run_increment(
                     num_buckets=num_buckets,
                     format_version=format_version,
                 )
-                table = IceboxTable(table_root)
+                table = IceboxTable(table_root, branch=branch)
             else:
                 valid = align_renames(table, valid)
                 batch_table_schema = table_schema_for(

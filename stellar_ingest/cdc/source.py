@@ -113,6 +113,10 @@ _ARROW_TO_SPARK = {
     "double": T.DoubleType(),
     "float": T.FloatType(),
     "bool": T.BooleanType(),
+    # opaque media payloads (images/audio/video ride the changelog as
+    # bytes + typed metadata; tests/test_binary_column.py end-to-end)
+    "binary": T.BinaryType(),
+    "large_binary": T.BinaryType(),
 }
 
 

@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--fold-min-deltas", type=int, default=None)
         p.add_argument("--fold-max-buckets", type=int, default=None)
         if name == "run":
+            p.add_argument("--branch", default=None)
             p.add_argument("--max-segments-per-part", type=int, default=None)
             p.add_argument("--max-epochs", type=int, default=None)
             p.add_argument("--expire-every", type=int, default=None)
@@ -130,6 +131,11 @@ def main(argv: list[str] | None = None) -> int:
     g2.add_argument("--widen", metavar="COL:TYPE")
     g2.add_argument("--drop", metavar="COL")
 
+    pb = sub.add_parser("publish", parents=[common])
+    pb.add_argument("--table", required=True)
+    pb.add_argument("--branch", required=True)
+    pb.add_argument("--allow-quarantine", action="store_true")
+
     mt = sub.add_parser("maintain", parents=[common])
     mt.add_argument("--table", required=True)
     mt.add_argument("--min-delta-commits", type=int, default=2)
@@ -170,6 +176,19 @@ def main(argv: list[str] | None = None) -> int:
                  "specs": t.bucket_specs()}
             )
         )
+        return 0
+
+    if args.cmd == "publish":
+        # pure metadata audit + atomic fast-forward; no SparkSession
+        from .lake.core import IceboxTable
+        from .lake.maintain import audit_and_publish
+
+        t = IceboxTable(args.table)
+        out = audit_and_publish(
+            None, t, args.branch,
+            require_no_quarantine=not args.allow_quarantine,
+        )
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "tag":
@@ -359,6 +378,7 @@ def main(argv: list[str] | None = None) -> int:
             older_than_ms=args.older_than_ms,
             gc_every=args.gc_every,
             gc_grace_ms=args.gc_grace_ms,
+            branch=args.branch,
             **kwargs,
         )
     total = sum(r["rows"] for r in recs)

@@ -143,13 +143,25 @@ def _atomic_write_json(path: str, obj) -> None:
 
 
 class IceboxTable:
-    """Handle to one icebox table rooted at ``root``."""
+    """Handle to one icebox table rooted at ``root``.
 
-    def __init__(self, root: str):
+    ``branch`` binds the handle to a named branch (write-audit-publish):
+    reads resolve to the branch head and commits advance the branch
+    pointer instead of main — main stays untouched until
+    ``publish_branch`` fast-forwards it (the Iceberg branch-ref
+    analogue).  An unborn branch forks implicitly from the current main
+    head on its first commit.  ``None`` (default) is main."""
+
+    def __init__(self, root: str, branch: str | None = None):
         self.root = root
+        self.branch = branch
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
         self._hint = os.path.join(self.meta_dir, "version-hint.text")
+
+    def for_branch(self, branch: str | None) -> "IceboxTable":
+        """A handle to the same table bound to ``branch`` (None = main)."""
+        return IceboxTable(self.root, branch=branch)
 
     # -- existence / creation ------------------------------------------------
 
@@ -270,9 +282,20 @@ class IceboxTable:
     def snapshots(self) -> list[dict]:
         return self.metadata()["snapshots"]
 
+    def head_id(self, meta: dict | None = None) -> int | None:
+        """The snapshot id this handle's reads/commits are based on:
+        the bound branch's head when a branch is bound AND born, else
+        main (``current_snapshot_id`` — also the fork point an unborn
+        branch commits on top of)."""
+        meta = self.metadata() if meta is None else meta
+        if self.branch is not None:
+            b = meta.get("branches", {}).get(self.branch)
+            if b is not None:
+                return b
+        return meta["current_snapshot_id"]
+
     def current_snapshot(self) -> dict | None:
-        meta = self.metadata()
-        sid = meta["current_snapshot_id"]
+        sid = self.head_id()
         if sid is None:
             return None
         return self.snapshot(sid)
@@ -311,7 +334,7 @@ class IceboxTable:
         """Create/move a named tag (metadata-only commit); ``None`` tags
         the current snapshot.  Returns the tagged snapshot id."""
         meta = self.metadata()
-        sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
+        sid = self.head_id(meta) if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError("cannot tag an empty table (no snapshot)")
         self.snapshot(sid)  # KeyError if unknown
@@ -329,6 +352,87 @@ class IceboxTable:
             raise KeyError(f"no tag {name!r}")
         version = self._version()
         del meta["refs"][name]
+        _atomic_write_json(
+            os.path.join(self.meta_dir, f"v{version + 1}.metadata.json"), meta
+        )
+        _atomic_write_json(self._hint, {"version": version + 1})
+
+    # -- branches (write-audit-publish) --------------------------------------
+
+    def branches(self) -> dict:
+        """Named branch heads ``{branch: snapshot_id}``.  Branch heads
+        (and their ancestry within the retention window) are retention
+        anchors like tags."""
+        return dict(self.metadata().get("branches", {}))
+
+    def resolve_ref(self, name: str) -> int:
+        """Snapshot id for a named ref: tags first, then branch heads
+        (read path for ``scan(ref=...)``)."""
+        meta = self.metadata()
+        if name in meta.get("refs", {}):
+            return meta["refs"][name]
+        if name in meta.get("branches", {}):
+            return meta["branches"][name]
+        raise KeyError(f"no tag or branch {name!r}")
+
+    def is_ancestor(self, ancestor_id: int | None, descendant_id: int) -> bool:
+        """True iff ``ancestor_id`` lies on ``descendant_id``'s parent
+        chain (None = the empty table, ancestor of everything).  Walks
+        parent ids driver-side; tolerates expired intermediate snapshots
+        by following recorded parent ids only while they resolve."""
+        if ancestor_id is None:
+            return True
+        by_id = {s["snapshot_id"]: s for s in self.metadata()["snapshots"]}
+        node: int | None = descendant_id
+        while node is not None:
+            if node == ancestor_id:
+                return True
+            s = by_id.get(node)
+            node = s["parent_snapshot_id"] if s else None
+        return False
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward main to the branch head and drop the branch —
+        the PUBLISH step of write-audit-publish.  Atomic: one metadata
+        commit (single version-hint swap), so a crash any time before
+        it leaves main byte-identically untouched and the branch ready
+        to re-publish.  Refuses a non-fast-forward (main moved since the
+        branch forked) — that is a concurrent-writer violation of the
+        single-writer protocol, not something to silently merge."""
+        meta = self.metadata()
+        head = meta.get("branches", {}).get(name)
+        if head is None:
+            raise KeyError(f"no branch {name!r}")
+        main = meta["current_snapshot_id"]
+        # fast-forward proof: main unmoved since the recorded fork point
+        # (robust to retention expiring intermediate branch snapshots),
+        # else provable ancestry on the retained parent chain
+        forks = meta.get("branch_forks", {})
+        unmoved = name in forks and forks[name] == main
+        if not (unmoved or self.is_ancestor(main, head)):
+            raise ValueError(
+                f"branch {name!r} is not a fast-forward of main "
+                f"(main={main}, branch head={head})"
+            )
+        version = self._version()
+        meta["current_snapshot_id"] = head
+        del meta["branches"][name]
+        meta.get("branch_forks", {}).pop(name, None)
+        _atomic_write_json(
+            os.path.join(self.meta_dir, f"v{version + 1}.metadata.json"), meta
+        )
+        _atomic_write_json(self._hint, {"version": version + 1})
+        return head
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch (metadata-only; its snapshots age out via
+        normal retention once unreferenced)."""
+        meta = self.metadata()
+        if name not in meta.get("branches", {}):
+            raise KeyError(f"no branch {name!r}")
+        version = self._version()
+        del meta["branches"][name]
+        meta.get("branch_forks", {}).pop(name, None)
         _atomic_write_json(
             os.path.join(self.meta_dir, f"v{version + 1}.metadata.json"), meta
         )
@@ -368,7 +472,7 @@ class IceboxTable:
         buckets' rows when an old-spec file also holds sibling-bucket
         rows (scan/lookup filter rows; merge/compact migrate them)."""
         meta = self.metadata()
-        sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
+        sid = self.head_id(meta) if snapshot_id is None else snapshot_id
         if sid is None:
             return []
         ml = self.manifest_list(sid)
@@ -427,7 +531,7 @@ class IceboxTable:
         """
         meta = self.metadata()
         version = self._version()
-        prev_id = meta["current_snapshot_id"]
+        prev_id = self.head_id(meta)
         new_id = meta["last_snapshot_id"] + 1
         removed = removed_paths or set()
 
@@ -466,7 +570,19 @@ class IceboxTable:
             "total_rows": total_rows,
         }
         meta["snapshots"].append(snap)
-        meta["current_snapshot_id"] = new_id
+        if self.branch is not None:
+            # branch commit: only the branch pointer moves — main (and
+            # every reader of it) cannot observe unpublished work.  The
+            # first commit records the FORK POINT (main's head at birth)
+            # so publish can prove fast-forward even after retention
+            # expired intermediate branch snapshots.
+            if self.branch not in meta.setdefault("branches", {}):
+                meta.setdefault("branch_forks", {})[self.branch] = meta[
+                    "current_snapshot_id"
+                ]
+            meta["branches"][self.branch] = new_id
+        else:
+            meta["current_snapshot_id"] = new_id
         meta["last_snapshot_id"] = new_id
         _atomic_write_json(
             os.path.join(self.meta_dir, f"v{version + 1}.metadata.json"), meta
@@ -610,7 +726,7 @@ class IceboxTable:
         unrecoverable and the commit REFUSES rather than guessing.
         Returns the number of entries stamped."""
         meta = self.metadata()
-        snap_id = meta["current_snapshot_id"]
+        snap_id = self.head_id(meta)
         if snap_id is None:
             return 0
         sid_cur = int(meta["current_schema_id"])

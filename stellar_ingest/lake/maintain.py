@@ -119,7 +119,7 @@ def delta_counts(table: IceboxTable) -> dict[int, dict]:
     per bucket — exact again once the class is folded/migrated); zeros
     stay exact, so "no debt" checks are unaffected."""
     meta = table.metadata()
-    sid = meta["current_snapshot_id"]
+    sid = table.head_id(meta)
     if sid is None:
         return {}
     ml = table.manifest_list(sid)
@@ -233,9 +233,15 @@ def expire_snapshots(
             len(snaps),
         )
         cut = min(cut, age_cut)
-    tagged = set(meta.get("refs", {}).values())
-    expired = [s for s in snaps[:cut] if s["snapshot_id"] not in tagged]
-    kept = [s for s in snaps if s["snapshot_id"] in tagged] + snaps[cut:]
+    # anchors never expire: tags, branch heads (unpublished work), and
+    # the MAIN head — during a long branch-ingest window main can fall
+    # behind the keep_last prefix yet must remain publishable-onto
+    anchored = set(meta.get("refs", {}).values())
+    anchored |= set(meta.get("branches", {}).values())
+    if meta["current_snapshot_id"] is not None:
+        anchored.add(meta["current_snapshot_id"])
+    expired = [s for s in snaps[:cut] if s["snapshot_id"] not in anchored]
+    kept = [s for s in snaps if s["snapshot_id"] in anchored] + snaps[cut:]
     kept = sorted(
         {s["snapshot_id"]: s for s in kept}.values(),
         key=lambda s: s["snapshot_id"],
@@ -243,7 +249,10 @@ def expire_snapshots(
     if not expired:
         _prune_metadata_versions(table)
         return {"snapshots_expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
-    assert kept[-1]["snapshot_id"] == meta["current_snapshot_id"]
+    kept_set = {s["snapshot_id"] for s in kept}
+    assert table.head_id(meta) in kept_set
+    if meta["current_snapshot_id"] is not None:
+        assert meta["current_snapshot_id"] in kept_set
 
     def _manifest_names(sid: int) -> set[str]:
         ml = table.manifest_list(sid)
@@ -409,4 +418,83 @@ def gc_orphans(
         "data_files_deleted": n_data,
         "manifests_deleted": n_manifest,
         "bytes_reclaimed": int(reclaimed),
+    }
+
+
+def branch_only_snapshots(table: IceboxTable, branch: str) -> list[dict]:
+    """The snapshots a branch added on top of main (branch head's parent
+    chain, stopping at main's head) — the AUDIT scope of
+    write-audit-publish, oldest first."""
+    meta = table.metadata()
+    head = meta.get("branches", {}).get(branch)
+    if head is None:
+        raise KeyError(f"no branch {branch!r}")
+    main = meta["current_snapshot_id"]
+    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    out: list[dict] = []
+    node: int | None = head
+    while node is not None and node != main:
+        s = by_id.get(node)
+        if s is None:
+            break
+        out.append(s)
+        node = s["parent_snapshot_id"]
+    return list(reversed(out))
+
+
+def audit_and_publish(
+    spark: SparkSession | None,
+    table: IceboxTable,
+    branch: str,
+    *,
+    expect_fingerprint: dict | None = None,
+    require_no_quarantine: bool = True,
+    crash_hook=None,
+) -> dict:
+    """Write-audit-publish PUBLISH step: validate the branch, then
+    fast-forward main onto its head (``core.py::publish_branch`` — one
+    atomic metadata swap, so a crash anywhere before it leaves main
+    untouched and the branch intact for a re-run).
+
+    Gates (each failure raises, main untouched):
+      - ``require_no_quarantine``: every branch-only snapshot's summary
+        must report zero quarantined rows (the dead-letter count the
+        runner binds into each commit) — bad input never publishes
+        silently;
+      - ``expect_fingerprint``: when given, the branch state's replay
+        fingerprint (verify/fingerprint.py::table_fingerprint over the
+        full-fidelity scan) must equal it — the audit a backfill or
+        migration runs against a known-good answer.  Needs ``spark``.
+
+    Returns {published_snapshot_id, audited_snapshots, quarantined}.
+    """
+    hook = crash_hook or (lambda point: None)
+    audited = branch_only_snapshots(table, branch)
+    quarantined = sum(
+        int((s.get("summary", {}).get("lineage") or {}).get("quarantined", 0))
+        for s in audited
+    )
+    if require_no_quarantine and quarantined:
+        raise ValueError(
+            f"branch {branch!r} has {quarantined} quarantined row(s) across "
+            f"{len(audited)} unpublished snapshot(s); refusing to publish"
+        )
+    if expect_fingerprint is not None:
+        if spark is None:
+            raise ValueError("expect_fingerprint audit needs a SparkSession")
+        from ..verify.fingerprint import table_fingerprint
+        from .read import scan
+
+        got = table_fingerprint(scan(spark, table.for_branch(branch)))
+        if got != dict(expect_fingerprint):
+            raise ValueError(
+                f"branch {branch!r} fingerprint {got} != expected "
+                f"{dict(expect_fingerprint)}; refusing to publish"
+            )
+    hook("pre_publish")  # crash seam: audits passed, main still untouched
+    published = table.publish_branch(branch)
+    return {
+        "published_snapshot_id": published,
+        "audited_snapshots": len(audited),
+        "quarantined": quarantined,
     }

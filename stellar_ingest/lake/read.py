@@ -177,11 +177,11 @@ def scan(
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
     if ref is not None:
-        snapshot_id = table.refs()[ref]
+        snapshot_id = table.resolve_ref(ref)  # tags, then branch heads
     elif as_of_ms is not None:
         snapshot_id = table.snapshot_as_of(as_of_ms)["snapshot_id"]
     meta = table.metadata()
-    sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
+    sid = table.head_id(meta) if snapshot_id is None else snapshot_id
     if sid is None:
         return spark.createDataFrame([], table.schema_struct())
     # time travel reads the snapshot's schema; current reads use the
@@ -349,6 +349,54 @@ def _io_pool():
     return _IO_POOL
 
 
+class _ParquetFileCache:
+    """Driver-side LRU of open ``pq.ParquetFile`` handles keyed by path
+    and validated by ``(mtime_ns, size)`` — a warm serving lookup pays
+    one ``stat`` instead of re-opening and re-parsing the footer each
+    call (the dominant warm-path cost; data files are immutable, so the
+    stat check only matters against path reuse, and fold/compaction
+    naturally invalidates by switching manifests to NEW paths — stale
+    entries just age out of the LRU).  Each entry carries a lock:
+    pyarrow readers are not documented thread-safe, and concurrent
+    serving calls may share a file."""
+
+    def __init__(self, capacity: int = 256):
+        from collections import OrderedDict
+        from threading import Lock
+
+        self.capacity = capacity
+        self._entries: "OrderedDict[str, tuple]" = OrderedDict()
+        self._lock = Lock()
+
+    def get(self, path: str):
+        """(ParquetFile, entry_lock) for ``path``, opened or revalidated."""
+        import pyarrow.parquet as pq
+        from threading import Lock
+
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size)
+        with self._lock:
+            hit = self._entries.get(path)
+            if hit is not None and hit[0] == key:
+                self._entries.move_to_end(path)
+                return hit[1], hit[2]
+        pf = pq.ParquetFile(path)
+        entry = (key, pf, Lock())
+        with self._lock:
+            self._entries[path] = entry
+            self._entries.move_to_end(path)
+            while len(self._entries) > self.capacity:
+                self._entries.popitem(last=False)
+        return entry[1], entry[2]
+
+    def clear(self) -> None:
+        with self._lock:
+            self._entries.clear()
+
+
+_PF_CACHE = _ParquetFileCache()
+
+
 def lookup_fast(
     spark: SparkSession,
     table: IceboxTable,
@@ -418,7 +466,7 @@ def lookup_many_fast(
             ).append(k)
     except TypeError:
         return _fallback()
-    sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
+    sid = table.head_id(meta) if snapshot_id is None else snapshot_id
     tfields = (
         table.schema_fields()
         if snapshot_id is None
@@ -471,7 +519,9 @@ def lookup_many_fast(
 
     def _read_matching(job: tuple[dict, list]) -> list[dict]:
         entry, ks = job
-        pf = pq.ParquetFile(os.path.join(table.root, entry["path"]))
+        # warm calls skip the open + footer parse: _PF_CACHE revalidates
+        # by (mtime, size) stat — measured the dominant warm-path cost
+        pf, pf_lock = _PF_CACHE.get(os.path.join(table.root, entry["path"]))
         md = pf.metadata
         try:
             idx = md.schema.names.index(col)
@@ -489,7 +539,8 @@ def lookup_many_fast(
             rgs = [i for i in rgs if _may(md.row_group(i).column(idx).statistics)]
         if not rgs:
             return []
-        t = pf.read_row_groups(list(rgs))
+        with pf_lock:
+            t = pf.read_row_groups(list(rgs))
         if idx is not None:
             t = t.filter(pc.is_in(t.column(col), value_set=pa.array(ks)))
         pairs = _pairs(int(entry.get("schema_id", -1)))

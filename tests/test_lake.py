@@ -591,3 +591,67 @@ def test_lookup_many_fast_matches_spark(spark, tmp_table):
     assert sorted(map(str, fb.values.tolist())) == sorted(
         map(str, want.values.tolist())
     )
+
+
+def test_lookup_fast_footer_cache(spark, tmp_table):
+    """The serving-path ParquetFile cache: warm calls serve from cached
+    footers, fold/compaction cannot yield stale answers (new paths), and
+    an in-place file change is caught by the (mtime,size) revalidation."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stellar_ingest.lake.maintain import fold_deltas
+    from stellar_ingest.lake.merge import delta_apply
+    from stellar_ingest.lake.read import _PF_CACHE, lookup_fast
+    from stellar_ingest.schema import CHANGELOG_SCHEMA
+
+    t = IceboxTable.create(tmp_table, TABLE_SCHEMA, num_buckets=4)
+    base = [
+        (f"c{i}", j, "user", f"t{i}.{j}", None, i * 10 + j, i * 10 + j, 0, "U")
+        for i in range(6)
+        for j in range(2)
+    ]
+    append(spark, t, _rows(spark, base))
+    batch = spark.createDataFrame(
+        [(99, 0, "U", "c3", 0, "user", "t3.0-v2", None, ts(99))], CHANGELOG_SCHEMA
+    )
+    delta_apply(spark, t, batch, summary={"epoch": 2})
+
+    _PF_CACHE.clear()
+    cold = lookup_fast(spark, t, "c3").set_index("turn_idx")
+    warm = lookup_fast(spark, t, "c3").set_index("turn_idx")  # cached footers
+    assert warm.equals(cold)
+    assert cold.loc[0, "text"] == "t3.0-v2"
+
+    # fold rewrites the bucket to NEW paths — the cache must not pin the
+    # pre-fold layout (old entries just become unreferenced)
+    assert fold_deltas(spark, t, min_delta_commits=1) is not None
+    post = lookup_fast(spark, t, "c3").set_index("turn_idx")
+    assert post.equals(cold)
+
+    # in-place tamper with a now-cached file: the stat key changes, the
+    # entry revalidates, and the lookup sees the new bytes
+    paths = [
+        p for p in t.file_paths() if len(pq.read_table(p).filter(
+            __import__("pyarrow").compute.equal(
+                pq.read_table(p).column("conv_id"), "c3")))
+    ]
+    assert paths
+    tbl = pq.read_table(paths[0])
+    texts = [
+        ("TAMPERED" if c == "c3" and i == 0 else x)
+        for c, i, x in zip(
+            tbl.column("conv_id").to_pylist(),
+            tbl.column("turn_idx").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+    ]
+    import pyarrow as pa
+
+    cols = {n: tbl.column(n) for n in tbl.schema.names}
+    cols["text"] = pa.array(texts, type=tbl.schema.field("text").type)
+    pq.write_table(pa.table(cols, schema=tbl.schema), paths[0])
+    os.utime(paths[0], ns=(1, 1))  # force a distinct stat key either way
+    tampered = lookup_fast(spark, t, "c3").set_index("turn_idx")
+    assert tampered.loc[0, "text"] == "TAMPERED"
