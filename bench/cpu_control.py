@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 spark = get_spark("cpu-control", cores={cores}, shuffle_partitions=8)
 df = spark.range({rows}, numPartitions=max(8, {cores} * 4))
 # warm the JVM/codegen once on a small slice so the timed run is compute
-df.limit(1000).select(F.xxhash64("id")).agg(F.sum("xxhash64(id)")).collect()
+df.limit(1000).select(F.xxhash64("id").alias("h")).agg(F.count("h")).collect()
 t0 = time.monotonic()
+# pmod-bound the summed value: ANSI mode (Spark 4 default) rejects a
+# long-overflowing SUM of raw 64-bit hashes
 out = (
-    df.select(F.xxhash64("id").alias("h"))
+    df.select(F.pmod(F.xxhash64("id"), F.lit(1000003)).alias("h"))
     .groupBy(F.pmod("h", F.lit(64)).alias("g"))
     .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
     .agg(F.sum("s"), F.sum("n"))
