@@ -62,6 +62,13 @@ def write_data_files(
     ``delta=True`` marks the entries as merge-on-read delta files —
     readers resolve LWW across a bucket's files when deltas are present
     (lake/read.py)."""
+    # the default sort/salt columns are the transcript key; generic
+    # tables (dedup/ANN indexes, any non-CDC icebox table) lack them —
+    # resolve against the actual frame, falling back to the table's own
+    # bucket column so compaction works on every table
+    sort_cols = tuple(c for c in sort_cols if c in df.columns) or (
+        table.metadata()["bucket_column"],
+    )
     tag = f"snap-pending-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table.data_dir, tag)
     salt = F.pmod(

@@ -86,6 +86,7 @@ def run_streaming(
     older_than_ms: int | None = None,
     gc_every: int | None = None,
     gc_grace_ms: int = 24 * 3600 * 1000,
+    branch: str | None = None,
 ):
     """Drain the ledger through Structured Streaming into the icebox
     table.  One snapshot per micro-batch; epoch = SS batch id + 1.
@@ -99,7 +100,11 @@ def run_streaming(
     carried-forward summary preserves).  ``expire_every``/``gc_every``
     run snapshot expiry / orphan GC every K batches (after the commit
     + lineage emit — same in-loop retention contract as the batch
-    runner, so a long-lived stream keeps metadata O(retained))."""
+    runner, so a long-lived stream keeps metadata O(retained)).
+
+    ``branch``: commit every micro-batch to a named branch instead of
+    main (write-audit-publish, same contract as the batch runner — see
+    cdc/runner.py and lake/maintain.py::audit_and_publish)."""
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     stream = with_stream_dedupe(
@@ -110,14 +115,14 @@ def run_streaming(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
-        table = IceboxTable(table_root)
+        table = IceboxTable(table_root, branch=branch)
         if not table.exists():
             IceboxTable.create(
                 table_root,
                 table_schema_for(batch_df.schema),
                 num_buckets=num_buckets,
             )
-            table = IceboxTable(table_root)
+            table = IceboxTable(table_root, branch=branch)
         else:
             # rename mapping + additive evolution, same rule as the
             # batch runner (cdc/runner.py)

@@ -176,3 +176,40 @@ def test_index_exists_roundtrip(spark, tmp_path):
     assert index_exists(root)
     with pytest.raises(FileExistsError):
         dedup_index_init(root)
+
+
+def test_index_survives_maintenance(spark, docs, tmp_path):
+    """The index tables are ordinary icebox tables: compaction +
+    snapshot expiry between epochs must not change assignments, and the
+    index stays ingestable afterwards."""
+    from stellar_ingest.lake.core import IceboxTable
+    from stellar_ingest.lake.maintain import compact, expire_snapshots
+
+    root = str(tmp_path / "idx")
+    dedup_index_init(root)
+    ingest_batch(spark, docs.filter(F.col("doc_id") < 100), root, epoch=1)
+    ingest_batch(
+        spark,
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)),
+        root,
+        epoch=2,
+    )
+    before = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in current_assignments(spark, root).collect()
+    )
+    for sub in ("bands", "clusters"):
+        t = IceboxTable(os.path.join(root, sub))
+        compact(spark, t, min_files_per_bucket=2)
+        expire_snapshots(t, keep_last=1)
+    after = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in current_assignments(spark, root).collect()
+    )
+    assert after == before
+    ingest_batch(spark, docs.filter(F.col("doc_id") >= 200), root, epoch=3)
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in current_assignments(spark, root).collect()
+    )
+    assert got == full_rebuild(docs)

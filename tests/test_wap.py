@@ -188,3 +188,22 @@ def test_resume_on_main_after_publish(spark, ledger, golden, tmp_path):
     audit_and_publish(spark, t, "staging")
     run_increment(spark, ledger, root, ck, salts=None)
     assert table_fingerprint(scan(spark, IceboxTable(root))) == golden
+
+
+def test_streaming_branch_publish(spark, ledger, golden, tmp_path):
+    """The SS adapter honors the same branch contract as the batch
+    runner: micro-batches land on the branch, main stays empty until
+    audit_and_publish fast-forwards it."""
+    from stellar_ingest.streaming.pipeline import run_streaming
+
+    root = str(tmp_path / "t")
+    run_streaming(
+        spark, ledger, root, str(tmp_path / "ck"),
+        num_buckets=16, branch="ss-stage",
+    )
+    t = IceboxTable(root)
+    assert t.current_snapshot() is None
+    assert scan(spark, t, ref="ss-stage").count() > 0
+    audit_and_publish(spark, t, "ss-stage")
+    # streaming state ≡ the batch runner's state, now on main
+    assert table_fingerprint(scan(spark, t)) == golden
