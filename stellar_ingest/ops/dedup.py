@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .relational import tbl
+from .relational import tbl, widen
 from .text import fingerprint_expr
 
 N_MINHASH = 12
@@ -339,18 +339,25 @@ def connected_components(
 
 
 def q_dedup_exact(spark, sf):
-    return exact_dedup(tbl(spark, sf, "documents"))
+    # widen: the per-doc regex+md5 fingerprint pass otherwise runs in
+    # one task (documents is a single-row-group file locally)
+    return exact_dedup(widen(tbl(spark, sf, "documents")))
 
 
 def q_dedup_minhash(spark, sf):
     """MinHash signatures (the LSH input) — verified value-exactly;
     the band-join pairs are exercised in pytest (pair emptiness depends
     on corpus duplication, signatures are always checkable)."""
-    return minhash_signatures(tbl(spark, sf, "documents").filter(F.col("doc_id") < 200))
+    # widen: shingle explode + 12-way hash fan-out of the 200-doc slice
+    # otherwise hashes ~240k shingles in one task
+    return minhash_signatures(
+        widen(tbl(spark, sf, "documents").filter(F.col("doc_id") < 200))
+    )
 
 
 def q_dedup_simhash(spark, sf):
-    d = tbl(spark, sf, "documents")
+    # widen: 16 interpreted bit-sum folds per doc, single-task otherwise
+    d = widen(tbl(spark, sf, "documents"))
     return d.select("doc_id", simhash_expr(F.col("text")).alias("simhash16"))
 
 

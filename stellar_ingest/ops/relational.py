@@ -15,12 +15,53 @@ sizes at runtime.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: parallelism floor: inputs smaller than this per core cannot fill the
+#: cluster from the scan alone (a parquet file splits at row-group
+#: granularity, and the fixture tables are single files with 1-6 row
+#: groups — so compute-heavy operators serialize on 1-6 of 32 cores)
+_WIDEN_BYTES_PER_CORE = 8 * 1024 * 1024
+
+
+def widen(df: DataFrame, parts: int | None = None, *, key_cols: list[str] | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for COMPUTE-heavy operators
+    (regex/md5 per doc, 64-dim vector math per row): repartition ONLY
+    when the input is too small to split into enough scan tasks (guide
+    §2.2/§6 — splits stop at one row group).  The decision is
+    driver-side metadata (file sizes, no Spark job): inputs above
+    ~8 MB x cores already scan wide, so at production scale this is a
+    no-op and no exchange is added.  Results are unchanged — every
+    caller feeds an order-insensitive operator (join/groupBy/window).
+
+    ``key_cols``: hash-repartition on these columns instead of
+    round-robin, so a downstream window/groupBy keyed the same way
+    REUSES the exchange (guide §2.4) instead of adding its own."""
+    sc = df.sparkSession.sparkContext
+    target = int(parts or sc.defaultParallelism)
+    try:
+        files = df.inputFiles()
+        total = 0
+        for f in files:
+            p = f[5:] if f.startswith("file:") else f
+            if not os.path.isabs(p):
+                return df  # non-local source: scan-split sizing unknown
+            total += os.path.getsize(p)
+    except Exception:  # noqa: BLE001 — unknown source shape: leave as-is
+        return df
+    if files and total < target * _WIDEN_BYTES_PER_CORE:
+        if key_cols:
+            return df.repartition(target, *[F.col(c) for c in key_cols])
+        return df.repartition(target)
+    return df
 
 
 def ts_utc(col):
