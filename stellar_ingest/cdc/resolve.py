@@ -58,11 +58,21 @@ def lww_winners(
     return ranked.filter(F.col("__rn") == 1).drop("__rn")
 
 
-def to_table_rows(winners: DataFrame) -> DataFrame:
+def to_table_rows(winners: DataFrame, *, carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Changelog-shaped winners → stored-table shape: payload columns +
     (_ts, _lsn, _src_part, _op).  Deletes become tombstones ('D') with
-    NULL payload; I/U normalize to 'U' (both are upserts once resolved)."""
-    payload = [c for c in winners.columns if c not in ENVELOPE_COLS and c != "ts"]
+    NULL payload; I/U normalize to 'U' (both are upserts once resolved).
+
+    ``carry_cols``: layout helper columns (e.g. __bucket/__salt from the
+    fused single-exchange merge path) passed through untouched — they
+    are excluded from the payload and appended last, preserving their
+    attribute identity so downstream sort/partitioning properties
+    survive the projection."""
+    payload = [
+        c
+        for c in winners.columns
+        if c not in ENVELOPE_COLS and c != "ts" and c not in carry_cols
+    ]
     is_del = F.col("op") == "D"
     cols = []
     for c in payload:
@@ -77,6 +87,7 @@ def to_table_rows(winners: DataFrame) -> DataFrame:
         F.col("src_part").alias("_src_part"),
         F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
     ]
+    cols += [F.col(c) for c in carry_cols]
     return winners.select(*cols)
 
 

@@ -41,13 +41,13 @@ a 1000-executor run changes only partition counts, not the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cdc.resolve import resolve
+from ..cdc.resolve import _desc_order, resolve, to_table_rows
 from .core import IceboxTable, fields_to_struct
 from .read import scan
-from .write import bucket_expr, write_data_files
+from .write import bucket_expr, write_data_files, write_salt
 
 
 def _existing_as_changelog(existing: DataFrame) -> DataFrame:
@@ -71,9 +71,15 @@ def _observed_quarantined(summary: dict) -> int:
     return int((summary.get("lineage") or {}).get("quarantined", 0))
 
 
-def _project_to_table(winners: DataFrame, table: IceboxTable) -> DataFrame:
+def _project_to_table(
+    winners: DataFrame, table: IceboxTable, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Resolved winner rows → the committed table schema (column order +
-    NULL-fill for columns evolved after this batch's payload)."""
+    NULL-fill for columns evolved after this batch's payload).
+    ``extra``: layout columns (__bucket) appended as-is — passing the
+    SAME attribute through (rather than recomputing the expression)
+    keeps the upstream exchange/sort properties visible to the writer
+    in the fused path."""
     struct = fields_to_struct(table.schema_fields())
     return winners.select(
         *[
@@ -81,8 +87,39 @@ def _project_to_table(winners: DataFrame, table: IceboxTable) -> DataFrame:
             if f.name in winners.columns
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in struct.fields
-        ]
+        ],
+        *[F.col(c) for c in extra],
     )
+
+
+def _fused_winner_rows(
+    union: DataFrame, bexpr, *, rn_observation=None
+) -> DataFrame:
+    """Single-exchange LWW resolve + write layout (guide §2.4: two
+    operations keyed the same way share one exchange).  ``__bucket`` is
+    a deterministic function of ``conv_id``, so hash-partitioning the
+    batch ONCE on __bucket both (a) co-locates every (conv_id, turn_idx)
+    group — the ranking window's clustering requirement is satisfied by
+    this exchange, Catalyst inserts no second one — and (b) is exactly
+    the layout the bucketed writer needs.  The window's required sort
+    (__bucket, conv_id, turn_idx, ts/lsn/src_part desc) is a superset of
+    the writer's (__bucket, conv_id, turn_idx), so the writer's
+    in-partition sort is elided too: one exchange + one sort where the
+    unfused path paid two of each (plan-asserted in
+    tests/test_round6_fused.py).
+
+    Winners are IDENTICAL to resolve(): the window groups are the same
+    (adding a function of the key to partitionBy changes nothing) and
+    the order inside each group is the same total order.  Only valid
+    when LWW salting and write salting are both off — those split keys
+    across partitions, which the shared exchange cannot express."""
+    pre = union.withColumn("__bucket", bexpr).repartition(F.col("__bucket"))
+    w = Window.partitionBy("__bucket", "conv_id", "turn_idx").orderBy(*_desc_order())
+    ranked = pre.withColumn("__rn", F.row_number().over(w))
+    if rn_observation is not None:
+        ranked = ranked.observe(rn_observation, F.max("__rn").alias("max_rn"))
+    winners = ranked.filter(F.col("__rn") == 1).drop("__rn")
+    return to_table_rows(winners, carry_cols=("__bucket",))
 
 
 def merge_apply(
@@ -137,9 +174,14 @@ def merge_apply(
     union = batch.unionByName(
         _existing_as_changelog(existing), allowMissingColumns=True
     )
-    winners = resolve(union, salts=salts, rn_observation=rn_observation)
-    ordered = _project_to_table(winners, table)
-    new_files = write_data_files(ordered.withColumn("__bucket", bexpr), table)
+    if (not salts or int(salts) <= 1) and write_salt(batch, nbuckets) == 1:
+        rows = _fused_winner_rows(union, bexpr, rn_observation=rn_observation)
+        ordered = _project_to_table(rows, table, extra=("__bucket",))
+        new_files = write_data_files(ordered, table, pre_partitioned=True)
+    else:
+        winners = resolve(union, salts=salts, rn_observation=rn_observation)
+        ordered = _project_to_table(winners, table)
+        new_files = write_data_files(ordered.withColumn("__bucket", bexpr), table)
     removed = {e["path"] for e in table.files(buckets=touched)}
     summary = dict(summary or {})
     if summary_fn is not None:
@@ -194,13 +236,20 @@ def delta_apply(
     per-batch maxes.  Re-applying a batch is logically idempotent too —
     duplicate winner rows are bit-identical, so whichever copy the
     read-time window keeps, the resolved state is unchanged."""
-    winners = resolve(batch, salts=salts, rn_observation=rn_observation)
-    ordered = _project_to_table(winners, table)
     meta = table.metadata()
     bexpr = bucket_expr(meta["bucket_column"], meta["num_buckets"])
-    new_files = write_data_files(
-        ordered.withColumn("__bucket", bexpr), table, delta=True
-    )
+    if (not salts or int(salts) <= 1) and write_salt(batch, meta["num_buckets"]) == 1:
+        # fused single-exchange path (see _fused_winner_rows): the
+        # Θ(batch) MoR epoch drops from 2 exchanges + 2 sorts to 1 + 1
+        rows = _fused_winner_rows(batch, bexpr, rn_observation=rn_observation)
+        ordered = _project_to_table(rows, table, extra=("__bucket",))
+        new_files = write_data_files(ordered, table, delta=True, pre_partitioned=True)
+    else:
+        winners = resolve(batch, salts=salts, rn_observation=rn_observation)
+        ordered = _project_to_table(winners, table)
+        new_files = write_data_files(
+            ordered.withColumn("__bucket", bexpr), table, delta=True
+        )
     summary = dict(summary or {})
     if summary_fn is not None:
         # the write above was the batch's action — observations attached

@@ -55,13 +55,20 @@ def write_data_files(
     shuffle_partitions: int | None = None,
     salt_n: int | None = None,
     delta: bool = False,
+    pre_partitioned: bool = False,
 ) -> list[dict]:
     """Materialize ``df`` (must carry a ``__bucket`` int column) as
     immutable parquet under a fresh commit dir; returns manifest entries
     ``{path, bucket, rows}``.  This is an action (the one big job).
     ``delta=True`` marks the entries as merge-on-read delta files —
     readers resolve LWW across a bucket's files when deltas are present
-    (lake/read.py)."""
+    (lake/read.py).
+
+    ``pre_partitioned=True``: the caller already hash-partitioned ``df``
+    by its write layout (the fused single-exchange merge path,
+    lake/merge.py) — skip the repartition here; the in-partition sort
+    stays, and is ELIDED by the planner when the upstream window's sort
+    order already covers it."""
     # the default sort/salt columns are the transcript key; generic
     # tables (dedup/ANN indexes, any non-CDC icebox table) lack them —
     # resolve against the actual frame, falling back to the table's own
@@ -71,17 +78,20 @@ def write_data_files(
     )
     tag = f"snap-pending-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table.data_dir, tag)
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in sort_cols]),
-        F.lit(salt_n if salt_n is not None else write_salt(df, table.num_buckets)),
-    )
-    # no explicit partition count: AQE coalesces the repartition to the
-    # batch's actual size, so small batches don't fragment into hundreds
-    # of tiny files while big batches still fan out
-    if shuffle_partitions:
-        shuffled = df.repartition(shuffle_partitions, F.col("__bucket"), salt)
+    if pre_partitioned:
+        shuffled = df
     else:
-        shuffled = df.repartition(F.col("__bucket"), salt)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in sort_cols]),
+            F.lit(salt_n if salt_n is not None else write_salt(df, table.num_buckets)),
+        )
+        # no explicit partition count: AQE coalesces the repartition to the
+        # batch's actual size, so small batches don't fragment into hundreds
+        # of tiny files while big batches still fan out
+        if shuffle_partitions:
+            shuffled = df.repartition(shuffle_partitions, F.col("__bucket"), salt)
+        else:
+            shuffled = df.repartition(F.col("__bucket"), salt)
     (
         shuffled.sortWithinPartitions("__bucket", *sort_cols)
         .write.partitionBy("__bucket")

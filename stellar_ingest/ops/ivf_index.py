@@ -45,9 +45,9 @@ from ..lake.xxh import bucket_of
 from .similarity import (
     _assign_cell_expr,
     _centroid_list,
-    as_double,
-    cosine_expr,
+    dot_fast,
     ivf_train,
+    norm_fast,
     probe_cells_expr,
 )
 
@@ -191,16 +191,19 @@ def ivf_search(
     qs = queries.select(
         F.col("vec_id").cast("long").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        norm_fast("embedding").alias("q_nrm"),
     )
     probes = qs.select(
         "query_id",
         "q_emb",
+        "q_nrm",
         F.explode(probe_cells_expr(cents, "q_emb", nprobe)).alias("cell"),
     )
-    # the probed-cell union across queries is ≤ n_cells ints — a
-    # driver-side distinct on the probe set (queries are a serving
-    # request, not a table)
-    probed_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    # the probed-cell union across queries is ≤ n_cells ints — collect
+    # the probe set driver-side and dedupe in Python (queries are a
+    # serving request, not a table; round 5 paid an extra distinct
+    # EXCHANGE here for the same set)
+    probed_cells = sorted({r["cell"] for r in probes.select("cell").collect()})
     buckets = _cell_buckets(probed_cells, at.num_buckets)
     cand = (
         scan(spark, at, buckets=buckets)
@@ -209,6 +212,7 @@ def ivf_search(
         .select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("c_emb"),
+            norm_fast("embedding").alias("c_nrm"),
             "cell",
         )
     )
@@ -218,9 +222,9 @@ def ivf_search(
         .select(
             "query_id",
             "cand_id",
-            cosine_expr(as_double(F.col("q_emb")), as_double(F.col("c_emb"))).alias(
-                "cos"
-            ),
+            F.round(
+                dot_fast("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))

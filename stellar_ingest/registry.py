@@ -104,43 +104,43 @@ _EXTRA_ORACLE = {
 #: registry's order), so the priority prefix rotates every round: keys
 #: whose newest green row sits in the OLDER of the two retained driver
 #: files lead the next round's prefix, keeping every key green in the
-#: union of the two newest files.  Round 5: the 29 keys last recorded in
-#: CORRECTNESS_r03.json (round-4 verdict item #2) come first, followed
-#: by the keys new in round 5 (which have no driver record yet).
+#: union of the two newest files.  Round 6: the 31 keys recorded only in
+#: CORRECTNESS_r04.json (round-5 verdict item #2 / Missing #1) come
+#: first — every other key is already green in CORRECTNESS_r05.json, so
+#: r05 ∪ r06 stays 81/81.
 _PRIORITY_KEYS = [
-    # last recorded in CORRECTNESS_r03 — rotated forward for round 5
-    "join_asof",
-    "join_interval",
-    "agg_basic",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_pivot",
-    "win_ntile",
-    "topk_per_group",
-    "win_tumbling",
-    "fn_string",
-    "fn_datetime",
-    "fn_math",
-    "fn_conditional",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "fn_hash",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q10",
-    "tpch_q18",
-    # new in round 5 (must appear in the capped prefix)
-    "dedup_incremental",
-    "ann_ivf_indexed",
+    # last recorded in CORRECTNESS_r04 — rotated forward for round 6
+    "agg_collect_ordered",
+    "agg_filtered",
+    "agg_fingerprint",
+    "agg_percentiles",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_sig",
+    "approx_count_distinct",
+    "cdc_transcripts",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
+    "fn_variant",
+    "join_cross",
+    "join_dim_supplier",
+    "multimodal_features",
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q19",
+    "transcript_repair",
+    "udaf_grouped",
+    "udf_scalar",
+    "udtf_expand",
+    "win_lag_lead",
+    "win_last_nn",
+    "win_range_frame",
+    "win_rank",
+    "win_running",
+    "win_session",
+    "win_sliding",
 ]
 
 
