@@ -559,13 +559,33 @@ class IceboxTable:
             meta["current_schema_id"] = schema_id
             meta["last_column_id"] = max(f["id"] for f in new_schema_fields)
 
+        summary = dict(summary or {})
+        # running quarantine total along the parent chain (round-5
+        # ADVICE): the HEAD snapshot alone carries the write-audit
+        # gate's input, so retention expiring intermediate branch
+        # snapshots can no longer truncate the audit sum.  Maintenance
+        # commits (fold/compact) carry the parent's lineage summary
+        # forward verbatim — their copy must not be re-counted.
+        prev_cum = 0
+        if prev_id is not None:
+            prev_snap = next(
+                (s for s in meta["snapshots"] if s["snapshot_id"] == prev_id), None
+            )
+            if prev_snap is not None:
+                prev_cum = int(
+                    prev_snap.get("summary", {}).get("cum_quarantined", 0) or 0
+                )
+        own_q = 0
+        if "maintenance" not in summary:
+            own_q = int((summary.get("lineage") or {}).get("quarantined", 0) or 0)
+        summary["cum_quarantined"] = prev_cum + own_q
         snap = {
             "snapshot_id": new_id,
             "parent_snapshot_id": prev_id,
             "schema_id": schema_id,
             "operation": operation,
             "timestamp_ms": int(time.time() * 1000),
-            "summary": dict(summary or {}),
+            "summary": summary,
             "total_files": total_files,
             "total_rows": total_rows,
         }

@@ -421,10 +421,11 @@ def gc_orphans(
     }
 
 
-def branch_only_snapshots(table: IceboxTable, branch: str) -> list[dict]:
-    """The snapshots a branch added on top of main (branch head's parent
-    chain, stopping at main's head) — the AUDIT scope of
-    write-audit-publish, oldest first."""
+def _branch_chain(table: IceboxTable, branch: str) -> tuple[list[dict], bool]:
+    """(branch-only snapshots oldest-first, truncated) — ``truncated``
+    is True when the walk hit an EXPIRED snapshot before reaching
+    main's head, i.e. the per-snapshot audit evidence is incomplete
+    (retention ran during a long branch window)."""
     meta = table.metadata()
     head = meta.get("branches", {}).get(branch)
     if head is None:
@@ -432,14 +433,23 @@ def branch_only_snapshots(table: IceboxTable, branch: str) -> list[dict]:
     main = meta["current_snapshot_id"]
     by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
     out: list[dict] = []
+    truncated = False
     node: int | None = head
     while node is not None and node != main:
         s = by_id.get(node)
         if s is None:
+            truncated = True
             break
         out.append(s)
         node = s["parent_snapshot_id"]
-    return list(reversed(out))
+    return list(reversed(out)), truncated
+
+
+def branch_only_snapshots(table: IceboxTable, branch: str) -> list[dict]:
+    """The snapshots a branch added on top of main (branch head's parent
+    chain, stopping at main's head) — the AUDIT scope of
+    write-audit-publish, oldest first."""
+    return _branch_chain(table, branch)[0]
 
 
 def audit_and_publish(
@@ -469,11 +479,49 @@ def audit_and_publish(
     Returns {published_snapshot_id, audited_snapshots, quarantined}.
     """
     hook = crash_hook or (lambda point: None)
-    audited = branch_only_snapshots(table, branch)
-    quarantined = sum(
-        int((s.get("summary", {}).get("lineage") or {}).get("quarantined", 0))
-        for s in audited
+    audited, truncated = _branch_chain(table, branch)
+    # Gate input (round-5 ADVICE fix): prefer the RUNNING quarantine
+    # counter the commit path binds into every snapshot — head minus
+    # base covers the branch-only span even when retention expired
+    # intermediate branch snapshots (which silently truncated the old
+    # per-snapshot sum), and maintenance commits' carried lineage is
+    # never double-counted.
+    meta = table.metadata()
+    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    head = audited[-1] if audited else None
+    base = (
+        by_id.get(meta["current_snapshot_id"])
+        if meta["current_snapshot_id"] is not None
+        else None
     )
+    head_cum = (head or {}).get("summary", {}).get("cum_quarantined")
+    base_cum = (
+        0 if base is None else base.get("summary", {}).get("cum_quarantined")
+    )
+    if head is None:
+        quarantined = 0
+    elif head_cum is not None and base_cum is not None:
+        quarantined = int(head_cum) - int(base_cum)
+    else:
+        # legacy snapshots without the running counter: fall back to the
+        # per-snapshot sum (skipping maintenance commits' CARRIED
+        # lineage — a fold's copy of the parent epoch's stats would
+        # double-count) and refuse when the chain is truncated, because
+        # a partial sum cannot prove the no-quarantine contract.
+        if truncated and require_no_quarantine:
+            raise ValueError(
+                f"branch {branch!r}: retention expired intermediate branch "
+                f"snapshots and these snapshots predate the running "
+                f"quarantine counter — the no-quarantine audit cannot be "
+                f"proven; re-run with require_no_quarantine=False plus an "
+                f"expect_fingerprint audit, or publish from a branch whose "
+                f"snapshots carry cum_quarantined"
+            )
+        quarantined = sum(
+            int((s.get("summary", {}).get("lineage") or {}).get("quarantined", 0))
+            for s in audited
+            if "maintenance" not in s.get("summary", {})
+        )
     if require_no_quarantine and quarantined:
         raise ValueError(
             f"branch {branch!r} has {quarantined} quarantined row(s) across "

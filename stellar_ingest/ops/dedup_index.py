@@ -113,6 +113,24 @@ def current_assignments(spark: SparkSession, index_root: str) -> DataFrame:
     )
 
 
+def _committed_epoch(t: IceboxTable) -> int:
+    """Newest ``dedup_epoch`` recorded in the table's snapshot chain
+    (0 when none): the idempotence fence for ingest_batch's two-table
+    commit.  Walks past maintenance snapshots, which don't carry the
+    marker."""
+    snap = t.current_snapshot() if t.exists() else None
+    while snap is not None:
+        e = snap.get("summary", {}).get("dedup_epoch")
+        if e is not None:
+            return int(e)
+        pid = snap.get("parent_snapshot_id")
+        try:
+            snap = t.snapshot(pid) if pid is not None else None
+        except KeyError:  # expired parent: no marker recoverable
+            return 0
+    return 0
+
+
 def _cross_edges(spark: SparkSession, bt: IceboxTable, batch_bands: DataFrame) -> DataFrame:
     """(old_doc, new_doc) candidate edges between the stored corpus and
     the batch: ONE sequential scan of the stored bands table, equi-joined
@@ -160,6 +178,23 @@ def ingest_batch(
          rows in one pruned, broadcast-mapped pass.
     """
     bt, ct = _tables(index_root)
+    # idempotence fence (round-5 ADVICE): the two appends below commit to
+    # two independent tables; a crash in between leaves docs banded but
+    # unassigned, and a blind retry would duplicate band rows.  Every
+    # append records its epoch in the snapshot summary, so a retry of an
+    # already-committed epoch is a no-op and a torn retry skips only the
+    # bands append (the cross-edge join is insensitive to the batch's own
+    # bands being present: unassigned endpoints drop at the contraction
+    # join, and in-batch pairs come from the recomputed batch bands).
+    if _committed_epoch(ct) >= int(epoch):
+        return {
+            "batch_docs": 0,
+            "cross_edges": 0,
+            "remapped_clusters": 0,
+            "relabeled_docs": 0,
+            "already_committed": True,
+        }
+    skip_bands_append = _committed_epoch(bt) >= int(epoch)
     batch_bands = band_signatures(docs, bands).localCheckpoint()
     batch_nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
 
@@ -252,12 +287,20 @@ def ingest_batch(
         obs_relabel = Observation()
         relabeled = relabeled.observe(obs_relabel, F.count(F.lit(1)).alias("n"))
 
-    append(spark, bt, batch_bands, sort_cols=("doc_id", "band"))
+    if not skip_bands_append:
+        append(
+            spark,
+            bt,
+            batch_bands,
+            sort_cols=("doc_id", "band"),
+            summary={"dedup_epoch": int(epoch)},
+        )
     append(
         spark,
         ct,
         batch_assign.unionByName(relabeled),
         sort_cols=("doc_id", "epoch"),
+        summary={"dedup_epoch": int(epoch)},
     )
     return {
         "batch_docs": int(obs_assign.get["n"]),

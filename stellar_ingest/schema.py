@@ -83,6 +83,21 @@ def align_renames(table, df):
             f"column(s) {clash}; drop or rename one side in the source "
             f"before ingesting"
         )
+    # rename CHAIN ambiguity (round-5 ADVICE): A→B→C yields
+    # rename_map {A: C, B: C}, so a batch carrying both A and B maps two
+    # distinct incoming columns onto one target — withColumnsRenamed
+    # would mint duplicate columns and fail downstream with an opaque
+    # ambiguous-column error; raise the operator-facing message here.
+    by_target: dict[str, list[str]] = {}
+    for old, new in sorted(hits.items()):
+        by_target.setdefault(new, []).append(old)
+    chain_clash = {new: olds for new, olds in by_target.items() if len(olds) > 1}
+    if chain_clash:
+        raise ValueError(
+            f"batch carries multiple historical names mapping to the same "
+            f"renamed column: {chain_clash}; drop or rename all but one "
+            f"side in the source before ingesting"
+        )
     return df.withColumnsRenamed(hits)
 
 
