@@ -21,8 +21,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: per-session memo of INFERRED schemas (metadata only, never results):
+#: every spark.read.parquet call re-infers the schema from footers
+#: (~70-90 ms per table on this host), and a multi-table query build
+#: pays it once per table per build.  The first read of a path still
+#: infers; later reads supply the same schema Spark itself derived.
+#: Keyed by applicationId so a new session (or driver rerun) re-infers.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 #: parallelism floor: inputs smaller than this per core cannot fill the
