@@ -72,6 +72,18 @@ def _lsn_range(pf: pq.ParquetFile) -> tuple[int, int]:
     return int(lo), int(hi)
 
 
+#: footer-stat memo keyed by (path, mtime_ns, size): ledger segments are
+#: immutable once written (append-only ledger contract), so each
+#: discovery pass only parses footers of files it has not seen — the
+#: steady-state loop otherwise re-parses EVERY segment's footer once or
+#: twice per epoch (~0.2 s at 400 segments, growing with ledger age).
+#: A rewritten file (new mtime/size) re-parses; entries are dropped
+#: lazily when their file disappears from a listing.  Metadata only —
+#: no row data is ever cached.
+_SEG_CACHE: dict[str, tuple[tuple[int, int], Segment]] = {}
+_SEG_CACHE_MAX = 65536
+
+
 def list_segments(ledger_dir: str) -> list[Segment]:
     """All ledger segments with footer-derived lsn ranges (no data IO)."""
     out: list[Segment] = []
@@ -87,21 +99,28 @@ def list_segments(ledger_dir: str) -> list[Segment]:
                 if not fn.endswith(".parquet"):
                     continue
                 full = os.path.join(root, fn)
+                st = os.stat(full)
+                stkey = (st.st_mtime_ns, st.st_size)
+                hit = _SEG_CACHE.get(full)
+                if hit is not None and hit[0] == stkey:
+                    out.append(hit[1])
+                    continue
                 pf = pq.ParquetFile(full)
                 if pf.metadata.num_rows == 0:
                     continue
                 lo, hi = _lsn_range(pf)
-                out.append(
-                    Segment(
-                        path=full,
-                        src_part=part,
-                        min_lsn=lo,
-                        max_lsn=hi,
-                        rows=pf.metadata.num_rows,
-                        columns=tuple(pf.schema_arrow.names),
-                        arrow_schema=pf.schema_arrow,
-                    )
+                seg = Segment(
+                    path=full,
+                    src_part=part,
+                    min_lsn=lo,
+                    max_lsn=hi,
+                    rows=pf.metadata.num_rows,
+                    columns=tuple(pf.schema_arrow.names),
+                    arrow_schema=pf.schema_arrow,
                 )
+                if len(_SEG_CACHE) < _SEG_CACHE_MAX:
+                    _SEG_CACHE[full] = (stkey, seg)
+                out.append(seg)
     return out
 
 
