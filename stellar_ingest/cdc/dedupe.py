@@ -34,11 +34,13 @@ def hwm_predicate(
     (_src_part/_lsn, lake/read.py::read_changes)."""
     if not offsets:
         return F.lit(True)
-    pred = None
-    for part, hwm in sorted(offsets.items()):
-        clause = (F.col(part_col) == int(part)) & (F.col(lsn_col) > int(hwm))
-        pred = clause if pred is None else (pred | clause)
-    known = F.col(part_col).isin([int(p) for p in offsets])
-    return pred | ~known
+    # one-parse SQL text: the Column-operator chain costs ~6 py4j
+    # round-trips per partition, per epoch (round-6 driver profile)
+    clauses = " OR ".join(
+        f"(`{part_col}` = {int(part)} AND `{lsn_col}` > {int(hwm)})"
+        for part, hwm in sorted(offsets.items())
+    )
+    known = ", ".join(str(int(p)) for p in sorted(offsets))
+    return F.expr(f"({clauses}) OR NOT (`{part_col}` IN ({known}))")
 
 

@@ -46,7 +46,7 @@ from . import checkpoint as ckpt
 from . import lineage as lin
 from .skew import DEFAULT_HOT_THRESHOLD, DEFAULT_SALTS
 from .source import list_segments, read_batch, select_batch
-from .validate import split_valid, validity_predicate
+from .validate import VALIDITY_SQL, split_valid, validity_predicate
 
 
 def _fence_and_repair(
@@ -335,7 +335,7 @@ def run_increment(
             # lineage + quarantine stats ride along as an `observe` node —
             # the ledger is scanned exactly ONCE per epoch (by the merge)
             parts = sorted(cutoffs)
-            observed, obs = lin.observed_stats(raw, validity_predicate(), parts)
+            observed, obs = lin.observed_stats(raw, VALIDITY_SQL, parts)
             valid, _ = split_valid(observed)
             # dead-letter branch comes off `raw` (not `observed`) so writing
             # it doesn't re-trigger the observation

@@ -218,10 +218,13 @@ def read_batch(
     (hwm, cutoff] per source partition."""
     schema = batch_schema(segments)
     df = spark.read.schema(schema).parquet(*[s.path for s in segments])
-    ceil_pred = None
-    for part, hi in sorted(cutoffs.items()):
-        clause = (F.col("src_part") == int(part)) & (F.col("lsn") <= int(hi))
-        ceil_pred = clause if ceil_pred is None else (ceil_pred | clause)
+    # one-parse SQL text (same rationale as dedupe.hwm_predicate)
+    ceil_pred = F.expr(
+        " OR ".join(
+            f"(src_part = {int(part)} AND lsn <= {int(hi)})"
+            for part, hi in sorted(cutoffs.items())
+        )
+    )
     # NULL-envelope rows (NULL lsn or src_part) would make the bounds
     # predicate evaluate to SQL NULL and silently vanish before the
     # validity split — let them through so validate.py can quarantine

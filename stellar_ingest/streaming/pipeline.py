@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..cdc import lineage as lin
 from ..cdc.source import batch_schema, list_segments
-from ..cdc.validate import split_valid, validity_predicate
+from ..cdc.validate import VALIDITY_SQL, split_valid, validity_predicate
 from ..lake.core import IceboxTable
 from ..lake.merge import delta_apply, merge_apply
 from ..schema import (
@@ -182,7 +182,7 @@ def run_streaming(
         # footer metadata — the batch's rows can only come from listed
         # segments).
         parts = sorted({s.src_part for s in list_segments(ledger_dir)})
-        observed, obs = lin.observed_stats(batch_df, validity_predicate(), parts)
+        observed, obs = lin.observed_stats(batch_df, VALIDITY_SQL, parts)
         valid, _ = split_valid(observed)
         bad = batch_df.filter(~validity_predicate())
         stash: dict = {}
