@@ -21,24 +21,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-#: per-session memo of INFERRED schemas (metadata only, never results):
-#: every spark.read.parquet call re-infers the schema from footers
-#: (~70-90 ms per table on this host), and a multi-table query build
-#: pays it once per table per build.  The first read of a path still
-#: infers; later reads supply the same schema Spark itself derived.
-#: Keyed by applicationId so a new session (or driver rerun) re-infers.
-_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+#: per-session memo of the base-table DataFrames (logical plans —
+#: METADATA only, never results: no .cache()/persist, every action still
+#: computes from the parquet inputs).  Every spark.read.parquet call
+#: re-infers the schema from footers and re-lists the file (~15-90 ms
+#: per table on this host), and a multi-table query build pays it once
+#: per table per build.  A DataFrame is an immutable plan, so returning
+#: the same object to every builder is safe — transformations mint new
+#: frames.  The fixture dirs are immutable (read-only testdata), so the
+#: frozen file listing cannot go stale within a session.  Keyed by
+#: applicationId so a new session (or driver rerun) re-reads.
+_TBL_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TBL_CACHE_MAX = 1024
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     key = (spark.sparkContext.applicationId, path)
-    sch = _SCHEMA_CACHE.get(key)
-    if sch is None:
+    df = _TBL_CACHE.get(key)
+    if df is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
-        return df
-    return spark.read.schema(sch).parquet(path)
+        if len(_TBL_CACHE) < _TBL_CACHE_MAX:
+            _TBL_CACHE[key] = df
+    return df
 
 
 #: parallelism floor: inputs smaller than this per core cannot fill the
