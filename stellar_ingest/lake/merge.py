@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from ..cdc.resolve import _desc_order, resolve, to_table_rows
 from .core import IceboxTable, fields_to_struct
 from .read import scan
-from .write import bucket_expr, write_data_files, write_salt
+from .write import bucket_expr, fused_slot_expr, write_data_files, write_salt
 
 
 def _existing_as_changelog(existing: DataFrame) -> DataFrame:
@@ -93,7 +93,7 @@ def _project_to_table(
 
 
 def _fused_winner_rows(
-    union: DataFrame, bexpr, *, rn_observation=None
+    union: DataFrame, bexpr, num_buckets: int, *, rn_observation=None
 ) -> DataFrame:
     """Single-exchange LWW resolve + write layout (guide §2.4: two
     operations keyed the same way share one exchange).  ``__bucket`` is
@@ -112,14 +112,29 @@ def _fused_winner_rows(
     (adding a function of the key to partitionBy changes nothing) and
     the order inside each group is the same total order.  Only valid
     when LWW salting and write salting are both off — those split keys
-    across partitions, which the shared exchange cannot express."""
-    pre = union.withColumn("__bucket", bexpr).repartition(F.col("__bucket"))
-    w = Window.partitionBy("__bucket", "conv_id", "turn_idx").orderBy(*_desc_order())
+    across partitions, which the shared exchange cannot express.
+
+    The exchange hashes ``__slot`` = fused_slot_map(n)[__bucket] into
+    EXACTLY n partitions — a perfect 1:1 bucket->partition mapping.
+    Hashing raw bucket ids collides (birthday bound: 32 ids into 256
+    slots measured 30 non-empty partitions), so two reduce tasks carried
+    two buckets each and the write stage's tail ran at ~2x the balanced
+    wall (guide §2.5).  ``__slot`` is a pure function of ``__bucket``,
+    so adding it to the window key changes no groups, and it leads the
+    writer's sort (then is dropped) so the single-Sort elision holds."""
+    pre = (
+        union.withColumn("__bucket", bexpr)
+        .withColumn("__slot", fused_slot_expr(num_buckets))
+        .repartition(num_buckets, F.col("__slot"))
+    )
+    w = Window.partitionBy("__slot", "__bucket", "conv_id", "turn_idx").orderBy(
+        *_desc_order()
+    )
     ranked = pre.withColumn("__rn", F.row_number().over(w))
     if rn_observation is not None:
         ranked = ranked.observe(rn_observation, F.max("__rn").alias("max_rn"))
     winners = ranked.filter(F.col("__rn") == 1).drop("__rn")
-    return to_table_rows(winners, carry_cols=("__bucket",))
+    return to_table_rows(winners, carry_cols=("__bucket", "__slot"))
 
 
 def merge_apply(
@@ -175,9 +190,11 @@ def merge_apply(
         _existing_as_changelog(existing), allowMissingColumns=True
     )
     if (not salts or int(salts) <= 1) and write_salt(batch, nbuckets) == 1:
-        rows = _fused_winner_rows(union, bexpr, rn_observation=rn_observation)
-        ordered = _project_to_table(rows, table, extra=("__bucket",))
-        new_files = write_data_files(ordered, table, pre_partitioned=True)
+        rows = _fused_winner_rows(union, bexpr, nbuckets, rn_observation=rn_observation)
+        ordered = _project_to_table(rows, table, extra=("__bucket", "__slot"))
+        new_files = write_data_files(
+            ordered, table, pre_partitioned=True, sort_prefix=("__slot",)
+        )
     else:
         winners = resolve(union, salts=salts, rn_observation=rn_observation)
         ordered = _project_to_table(winners, table)
@@ -241,9 +258,13 @@ def delta_apply(
     if (not salts or int(salts) <= 1) and write_salt(batch, meta["num_buckets"]) == 1:
         # fused single-exchange path (see _fused_winner_rows): the
         # Θ(batch) MoR epoch drops from 2 exchanges + 2 sorts to 1 + 1
-        rows = _fused_winner_rows(batch, bexpr, rn_observation=rn_observation)
-        ordered = _project_to_table(rows, table, extra=("__bucket",))
-        new_files = write_data_files(ordered, table, delta=True, pre_partitioned=True)
+        rows = _fused_winner_rows(
+            batch, bexpr, meta["num_buckets"], rn_observation=rn_observation
+        )
+        ordered = _project_to_table(rows, table, extra=("__bucket", "__slot"))
+        new_files = write_data_files(
+            ordered, table, delta=True, pre_partitioned=True, sort_prefix=("__slot",)
+        )
     else:
         winners = resolve(batch, salts=salts, rn_observation=rn_observation)
         ordered = _project_to_table(winners, table)

@@ -47,6 +47,70 @@ def bucket_expr(col: str, num_buckets: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
 
 
+def _mmh3_int(v: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one 4-byte int — bit-for-bit Spark's
+    ``hash(CAST(x AS INT))`` (seed 42), which is also the function
+    HashPartitioning applies to a shuffle key.  Pure driver-side Python;
+    parity is pinned by a test against ``F.hash``."""
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    k1 = ((v & 0xFFFFFFFF) * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = rotl(k1, 15)
+    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+    h1 = (seed ^ k1) & 0xFFFFFFFF
+    h1 = rotl(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4  # input length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1
+
+
+#: bucket -> slot tables, memoized per bucket count (pure function of
+#: num_buckets; coupon-collector search is O(n log n) driver-side ints)
+_SLOT_MAPS: dict[int, list[int]] = {}
+
+
+def fused_slot_map(num_buckets: int) -> list[int]:
+    """``slots[b]`` = smallest int whose Murmur3 hash lands in shuffle
+    partition ``b`` of ``num_buckets`` — i.e. pmod(hash(slots[b]), n) == b.
+
+    Why: hash-partitioning N bucket ids into N (or even 8N) partitions
+    collides (birthday bound) — measured: 32 buckets into 256 slots left
+    30 non-empty partitions, so two reduce tasks carried TWO buckets and
+    the fused merge's write stage ran at ~2x the balanced wall (guide
+    §2.5 — a synthetic partitioning key with too few distinct values).
+    Repartitioning on ``slots[__bucket]`` instead gives exactly one
+    partition per bucket: perfectly even by construction at ANY scale
+    (the map depends only on num_buckets), zero empty tasks."""
+    slots = _SLOT_MAPS.get(num_buckets)
+    if slots is None:
+        found: list[int | None] = [None] * num_buckets
+        need, v = num_buckets, 0
+        while need:
+            r = _mmh3_int(v) % num_buckets
+            if found[r] is None:
+                found[r] = v
+                need -= 1
+            v += 1
+        slots = [int(s) for s in found]  # type: ignore[arg-type]
+        _SLOT_MAPS[num_buckets] = slots
+    return slots
+
+
+def fused_slot_expr(num_buckets: int):
+    """Column mapping ``__bucket`` -> its slot value (INT), emitted as
+    one single-parse SQL literal array."""
+    lits = ",".join(str(s) for s in fused_slot_map(num_buckets))
+    return F.expr(
+        f"CAST(element_at(array({lits}), `__bucket` + 1) AS INT)"
+    )
+
+
 def write_data_files(
     df: DataFrame,
     table: IceboxTable,
@@ -56,6 +120,7 @@ def write_data_files(
     salt_n: int | None = None,
     delta: bool = False,
     pre_partitioned: bool = False,
+    sort_prefix: tuple[str, ...] = (),
 ) -> list[dict]:
     """Materialize ``df`` (must carry a ``__bucket`` int column) as
     immutable parquet under a fresh commit dir; returns manifest entries
@@ -68,7 +133,13 @@ def write_data_files(
     by its write layout (the fused single-exchange merge path,
     lake/merge.py) — skip the repartition here; the in-partition sort
     stays, and is ELIDED by the planner when the upstream window's sort
-    order already covers it."""
+    order already covers it.
+
+    ``sort_prefix``: layout helper columns sorted BEFORE ``__bucket`` and
+    dropped right after the sort (never written).  The fused path passes
+    its ``__slot`` partition key here so the required sort stays a prefix
+    of the window's sort and the planner can keep eliding it; the
+    physical row order is unchanged (one slot value per partition)."""
     # the default sort/salt columns are the transcript key; generic
     # tables (dedup/ANN indexes, any non-CDC icebox table) lack them —
     # resolve against the actual frame, falling back to the table's own
@@ -92,9 +163,13 @@ def write_data_files(
             shuffled = df.repartition(shuffle_partitions, F.col("__bucket"), salt)
         else:
             shuffled = df.repartition(F.col("__bucket"), salt)
+    sorted_df = shuffled.sortWithinPartitions(*sort_prefix, "__bucket", *sort_cols)
+    if sort_prefix:
+        # projection after the sort: row order is untouched, the helper
+        # columns just never reach the files
+        sorted_df = sorted_df.drop(*sort_prefix)
     (
-        shuffled.sortWithinPartitions("__bucket", *sort_cols)
-        .write.partitionBy("__bucket")
+        sorted_df.write.partitionBy("__bucket")
         .mode("overwrite")
         .parquet(out)
     )

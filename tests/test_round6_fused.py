@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from stellar_ingest.cdc.resolve import resolve
 from stellar_ingest.lake.merge import _fused_winner_rows
-from stellar_ingest.lake.write import bucket_expr
+from stellar_ingest.lake.write import _mmh3_int, bucket_expr, fused_slot_map
 
 from .helpers import make_changelog
 
@@ -42,7 +42,7 @@ def _plan(df) -> str:
 def test_fused_winners_equal_resolve(spark):
     batch = make_changelog(spark, ROWS)
     bexpr = bucket_expr("conv_id", 8)
-    fused = _fused_winner_rows(batch, bexpr).drop("__bucket")
+    fused = _fused_winner_rows(batch, bexpr, 8).drop("__bucket", "__slot")
     unfused = resolve(batch, salts=None)
     assert sorted(fused.columns) == sorted(unfused.columns)
     cols = sorted(fused.columns)
@@ -54,12 +54,44 @@ def test_fused_winners_equal_resolve(spark):
 def test_fused_plan_single_exchange_single_sort(spark):
     batch = make_changelog(spark, ROWS)
     bexpr = bucket_expr("conv_id", 8)
-    rows = _fused_winner_rows(batch, bexpr)
-    # the writer's exact shape (write_data_files pre_partitioned=True)
-    final = rows.sortWithinPartitions("__bucket", "conv_id", "turn_idx")
+    rows = _fused_winner_rows(batch, bexpr, 8)
+    # the writer's exact shape (write_data_files pre_partitioned=True,
+    # sort_prefix=("__slot",))
+    final = rows.sortWithinPartitions(
+        "__slot", "__bucket", "conv_id", "turn_idx"
+    ).drop("__slot")
     plan = _plan(final)
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Sort [") == 1, plan  # the window's; writer sort elided
+
+
+def test_slot_map_is_perfect_bucket_to_partition():
+    """slots[b] must hash into shuffle partition b exactly (the 1:1
+    mapping the fused exchange relies on), for several bucket counts."""
+    for nb in (4, 8, 32, 256):
+        slots = fused_slot_map(nb)
+        assert len(set(slots)) == nb
+        assert [(_mmh3_int(s) % nb) for s in slots] == list(range(nb))
+
+
+def test_mmh3_int_matches_spark_hash(spark):
+    """Driver-side Murmur3 must be bit-for-bit Spark's hash(int) — the
+    function HashPartitioning applies to the __slot shuffle key."""
+    rows = spark.sql("SELECT id, hash(CAST(id AS INT)) h FROM range(-64, 512)").collect()
+    for r in rows:
+        assert _mmh3_int(int(r["id"])) == r["h"]
+
+
+def test_fused_rows_land_in_their_bucket_partition(spark):
+    """After the fused exchange every row's shuffle partition index IS
+    its bucket id — zero collisions, perfectly even layout."""
+    batch = make_changelog(spark, ROWS)
+    bexpr = bucket_expr("conv_id", 8)
+    rows = _fused_winner_rows(batch, bexpr, 8)
+    pairs = (
+        rows.select(F.spark_partition_id().alias("p"), "__bucket").distinct().collect()
+    )
+    assert pairs and all(r["p"] == r["__bucket"] for r in pairs)
 
 
 def test_fused_drain_fingerprint_matches_unfused(spark, tmp_path):
