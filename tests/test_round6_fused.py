@@ -68,7 +68,9 @@ def test_fused_plan_single_exchange_single_sort(spark):
 def test_slot_map_is_perfect_bucket_to_partition():
     """slots[b] must hash into shuffle partition b exactly (the 1:1
     mapping the fused exchange relies on), for several bucket counts."""
-    for nb in (4, 8, 32, 256):
+    # 4096 = a production-scale bucket count (the map builds in ~50 ms
+    # driver-side and is memoized per count)
+    for nb in (4, 8, 32, 256, 4096):
         slots = fused_slot_map(nb)
         assert len(set(slots)) == nb
         assert [(_mmh3_int(s) % nb) for s in slots] == list(range(nb))
